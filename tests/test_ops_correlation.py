@@ -1,0 +1,86 @@
+"""Correlation op: golden values, gradient checks, Pallas/jnp parity."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from unflow_tpu.ops.correlation import correlation, correlation_jnp
+from unflow_tpu.ops.pallas.correlation import correlation_pallas
+from tests.gradcheck import check_grads_fd
+
+
+def _numpy_correlation(f1, f2, max_disp, stride):
+    """Brute-force numpy oracle."""
+    b, h, w, c = f1.shape
+    d = 2 * (max_disp // stride) + 1
+    out = np.zeros((b, h, w, d * d), np.float64)
+    f2p = np.pad(f2, ((0, 0), (max_disp, max_disp), (max_disp, max_disp), (0, 0)))
+    for dy in range(d):
+        for dx in range(d):
+            sl = f2p[:, dy * stride : dy * stride + h, dx * stride : dx * stride + w]
+            out[..., dy * d + dx] = (f1.astype(np.float64) * sl).sum(-1)
+    return out / c
+
+
+@pytest.mark.parametrize("max_disp,stride", [(4, 2), (3, 1)])
+def test_correlation_jnp_matches_numpy(rng, max_disp, stride):
+    f1 = rng.randn(2, 8, 12, 6).astype(np.float32)
+    f2 = rng.randn(2, 8, 12, 6).astype(np.float32)
+    got = np.asarray(correlation_jnp(jnp.asarray(f1), jnp.asarray(f2), max_disp, stride))
+    want = _numpy_correlation(f1, f2, max_disp, stride)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_correlation_zero_displacement_is_dot(rng):
+    f1 = rng.randn(1, 8, 8, 4).astype(np.float32)
+    out = np.asarray(correlation_jnp(jnp.asarray(f1), jnp.asarray(f1), 2, 2))
+    d = 2 * (2 // 2) + 1
+    center = out[..., (d * d) // 2]
+    np.testing.assert_allclose(center, (f1 * f1).mean(-1), rtol=1e-5, atol=1e-5)
+
+
+def test_correlation_pallas_matches_jnp(rng):
+    f1 = jnp.asarray(rng.randn(2, 8, 16, 8).astype(np.float32))
+    f2 = jnp.asarray(rng.randn(2, 8, 16, 8).astype(np.float32))
+    ref = correlation_jnp(f1, f2, 4, 2)
+    got = correlation_pallas(f1, f2, 4, 2)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-5)
+
+
+def test_correlation_pallas_nondivisible_width(rng):
+    # Exercises the wrapper's padding path (W not a tile multiple).
+    f1 = jnp.asarray(rng.randn(1, 8, 72, 4).astype(np.float32))
+    f2 = jnp.asarray(rng.randn(1, 8, 72, 4).astype(np.float32))
+    ref = correlation_jnp(f1, f2, 4, 2)
+    got = correlation_pallas(f1, f2, 4, 2)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-5)
+
+
+def test_correlation_pallas_grads_match_jnp(rng):
+    f1 = jnp.asarray(rng.randn(1, 8, 8, 4).astype(np.float32))
+    f2 = jnp.asarray(rng.randn(1, 8, 8, 4).astype(np.float32))
+    g = jnp.asarray(rng.randn(1, 8, 8, 25).astype(np.float32))
+
+    def loss_ref(a, b):
+        return jnp.sum(correlation_jnp(a, b, 4, 2) * g)
+
+    def loss_pl(a, b):
+        return jnp.sum(correlation_pallas(a, b, 4, 2) * g)
+
+    ref = jax.grad(loss_ref, argnums=(0, 1))(f1, f2)
+    got = jax.grad(loss_pl, argnums=(0, 1))(f1, f2)
+    np.testing.assert_allclose(np.asarray(got[0]), np.asarray(ref[0]), rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(got[1]), np.asarray(ref[1]), rtol=1e-4, atol=1e-4)
+
+
+def test_correlation_jnp_gradcheck(rng):
+    f1 = jnp.asarray(rng.randn(1, 4, 6, 3).astype(np.float32))
+    f2 = jnp.asarray(rng.randn(1, 4, 6, 3).astype(np.float32))
+    check_grads_fd(lambda a, b: correlation_jnp(a, b, 2, 1), (f1, f2), atol=1e-2, rtol=1e-2)
+
+
+def test_correlation_dispatcher_jnp(rng):
+    f1 = jnp.asarray(rng.randn(1, 8, 8, 4).astype(np.float32))
+    out = correlation(f1, f1, max_displacement=4, stride=2, impl="jnp")
+    assert out.shape == (1, 8, 8, 25)

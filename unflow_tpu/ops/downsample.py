@@ -1,0 +1,57 @@
+"""Average downsampling of dense fields (flow pyramids, image pyramids).
+
+Reference: simonmeister/UnFlow ``src/e2eflow/ops/downsample_op.cc`` /
+``.cu.cc`` — average-pools dense flow (and images, and ground-truth flow
+for the supervised multi-scale loss) to pyramid resolutions.
+
+On TPU this is a plain reshape-mean (static shapes, XLA fuses it into
+neighbors); no Pallas kernel is warranted. ``downsample_flow`` optionally
+rescales the vector magnitudes into the coarse level's pixel units
+(divide by the factor) — the reference keeps magnitudes and lets callers
+scale, so ``rescale=False`` is the parity behavior.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+@functools.partial(jax.jit, static_argnames=("factor",))
+def downsample(x: jax.Array, factor: int) -> jax.Array:
+    """Average-pool ``(B, H, W, C)`` by an integer factor (H, W divisible)."""
+    if factor == 1:
+        return x
+    b, h, w, c = x.shape
+    if h % factor or w % factor:
+        raise ValueError(f"shape {(h, w)} not divisible by factor {factor}")
+    x = x.reshape(b, h // factor, factor, w // factor, factor, c)
+    return x.mean(axis=(2, 4))
+
+
+@functools.partial(jax.jit, static_argnames=("factor", "rescale"))
+def downsample_flow(flow: jax.Array, factor: int, rescale: bool = False) -> jax.Array:
+    """Average-downsample a flow field; optionally rescale magnitudes."""
+    out = downsample(flow, factor)
+    if rescale and factor != 1:
+        out = out / jnp.asarray(factor, out.dtype)
+    return out
+
+
+def upsample2x_bilinear(x: jax.Array) -> jax.Array:
+    """Bilinear 2x upsampling (align_corners=False / half-pixel centers).
+
+    Matches TF1 ``tf.image.resize_bilinear`` with the default
+    ``align_corners=False`` only approximately at borders; the reference
+    uses it for flow upsampling between decoder levels
+    (src/e2eflow/core/flownet.py) where border effects are negligible.
+    """
+    b, h, w, c = x.shape
+    return jax.image.resize(x, (b, 2 * h, 2 * w, c), method="bilinear")
+
+
+def resize_bilinear(x: jax.Array, height: int, width: int) -> jax.Array:
+    b, _, _, c = x.shape
+    return jax.image.resize(x, (b, height, width, c), method="bilinear")

@@ -1,0 +1,142 @@
+"""Dense bilinear warping ops (backward gather, forward splat).
+
+Reference: simonmeister/UnFlow
+  * ``src/e2eflow/ops/backward_warp_op.cc`` / ``.cu.cc`` — bilinear
+    gather ``out(x) = im(x + flow(x))`` with custom gradients w.r.t. both
+    the image and the flow; a pure-TF fallback lives at
+    ``src/e2eflow/core/image_warp.py::image_warp``.
+  * ``src/e2eflow/ops/forward_warp_op.cc`` / ``.cu.cc`` — bilinear
+    splat along the flow; its density ("range") map detects disocclusion
+    (``src/e2eflow/core/losses.py``: ``forward_warp(flow) < DISOCC_THRESH``).
+
+TPU design: backward warp is a gather; we flatten (H, W) and use
+``take_along_axis`` with clamped indices, which XLA lowers to a dynamic
+gather — differentiable through autodiff (gather -> scatter-add VJP).
+Forward warp is a scatter-add; TPU has no float atomics, so we express it
+as ``.at[].add`` with ``mode='drop'`` (XLA scatter-add), which on TPU
+lowers to a deterministic sorted-segment accumulation. Both are exposed
+as pure functions of (image, flow) and are fully differentiable.
+
+Convention: ``flow[..., 0]`` is the horizontal displacement (u, along W)
+and ``flow[..., 1]`` the vertical displacement (v, along H), matching the
+reference and the .flo / KITTI formats.
+
+Border policy: backward_warp clamps sample coordinates to the image
+border (edge-extend). The reference's losses mask out-of-frame pixels
+explicitly via ``create_outgoing_mask``, so the border policy does not
+leak into training; edge-extend keeps gradients finite everywhere.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+def _sample_coords(flow: jax.Array):
+    """Absolute sample coordinates (x, y) for each target pixel."""
+    b, h, w, _ = flow.shape
+    gy = jnp.arange(h, dtype=flow.dtype)[None, :, None]
+    gx = jnp.arange(w, dtype=flow.dtype)[None, None, :]
+    x = gx + flow[..., 0]
+    y = gy + flow[..., 1]
+    return x, y
+
+
+def backward_warp_jnp(im: jax.Array, flow: jax.Array) -> jax.Array:
+    """Bilinear backward warp: ``out[p] = im[p + flow[p]]``."""
+    b, h, w, c = im.shape
+    x, y = _sample_coords(flow)
+
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    wx = (x - x0).astype(im.dtype)[..., None]
+    wy = (y - y0).astype(im.dtype)[..., None]
+
+    def clamp(ix, iy):
+        ix = jnp.clip(ix, 0, w - 1).astype(jnp.int32)
+        iy = jnp.clip(iy, 0, h - 1).astype(jnp.int32)
+        return iy * w + ix
+
+    im_flat = im.reshape(b, h * w, c)
+
+    def gather(idx):
+        return jnp.take_along_axis(im_flat, idx.reshape(b, h * w, 1), axis=1).reshape(
+            b, h, w, c
+        )
+
+    v00 = gather(clamp(x0, y0))
+    v01 = gather(clamp(x0 + 1, y0))
+    v10 = gather(clamp(x0, y0 + 1))
+    v11 = gather(clamp(x0 + 1, y0 + 1))
+
+    top = v00 * (1.0 - wx) + v01 * wx
+    bot = v10 * (1.0 - wx) + v11 * wx
+    return top * (1.0 - wy) + bot * wy
+
+
+def _splat(values: jax.Array, flow: jax.Array) -> jax.Array:
+    """Bilinear forward splat of per-pixel ``values`` along ``flow``.
+
+    values: (B, H, W, C); returns (B, H, W, C). Out-of-frame mass is
+    dropped (matches the reference kernel, which skips OOB targets).
+    """
+    b, h, w, c = values.shape
+    x, y = _sample_coords(flow)
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    wx = (x - x0).astype(values.dtype)
+    wy = (y - y0).astype(values.dtype)
+
+    out = jnp.zeros((b, h * w, c), values.dtype)
+    for iy, yw in ((y0, 1.0 - wy), (y0 + 1, wy)):
+        for ix, xw in ((x0, 1.0 - wx), (x0 + 1, wx)):
+            inb = (ix >= 0) & (ix <= w - 1) & (iy >= 0) & (iy <= h - 1)
+            # OOB -> index -1, dropped by scatter mode='drop'.
+            idx = jnp.where(inb, iy.astype(jnp.int32) * w + ix.astype(jnp.int32), -1)
+            contrib = values * (xw * yw * inb.astype(values.dtype))[..., None]
+            out = out.at[
+                jnp.arange(b)[:, None], idx.reshape(b, h * w)
+            ].add(contrib.reshape(b, h * w, c), mode="drop")
+    return out.reshape(b, h, w, c)
+
+
+def forward_warp_jnp(flow: jax.Array) -> jax.Array:
+    """Splat density ("range") map: how much mass lands on each pixel.
+
+    Pixels where nothing lands (density ~ 0) are disoccluded; the
+    reference thresholds this at DISOCC_THRESH to build the ``disocc``
+    occlusion mask (src/e2eflow/core/losses.py).
+    """
+    b, h, w, _ = flow.shape
+    ones = jnp.ones((b, h, w, 1), flow.dtype)
+    return _splat(ones, flow)
+
+
+def forward_warp_image_jnp(im: jax.Array, flow: jax.Array) -> jax.Array:
+    """Forward-warp an image by splatting (unnormalized accumulation)."""
+    return _splat(im, flow)
+
+
+@functools.partial(jax.jit, static_argnames=("impl",))
+def backward_warp(im: jax.Array, flow: jax.Array, impl: str | None = None) -> jax.Array:
+    """Differentiable bilinear backward warp (see module docstring)."""
+    del impl  # Single implementation: XLA gather is the TPU-native form.
+    return backward_warp_jnp(im, flow)
+
+
+@functools.partial(jax.jit, static_argnames=("impl",))
+def forward_warp(flow: jax.Array, impl: str | None = None) -> jax.Array:
+    """Differentiable forward-splat density map (B, H, W, 1)."""
+    del impl
+    return forward_warp_jnp(flow)
+
+
+@functools.partial(jax.jit, static_argnames=("impl",))
+def forward_warp_image(
+    im: jax.Array, flow: jax.Array, impl: str | None = None
+) -> jax.Array:
+    del impl
+    return forward_warp_image_jnp(im, flow)
