@@ -1,0 +1,103 @@
+"""FlowNet model tests: shapes, stacking, freezing."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from unflow_tpu.models import (
+    FLOW_SCALE,
+    FlowNetC,
+    FlowNetS,
+    FlowNetStack,
+    full_res_flow,
+    param_labels,
+)
+
+H, W = 64, 128  # divisible by 64
+
+
+def test_flownet_s_shapes(rng):
+    x = jnp.asarray(rng.randn(2, H, W, 6).astype(np.float32))
+    model = FlowNetS()
+    params = model.init(jax.random.PRNGKey(0), x)
+    flows = model.apply(params, x)
+    assert len(flows) == 5
+    for i, f in enumerate(flows):
+        s = 4 * 2**i
+        assert f.shape == (2, H // s, W // s, 2), (i, f.shape)
+
+
+def test_flownet_c_shapes(rng):
+    im1 = jnp.asarray(rng.randn(1, H, W, 3).astype(np.float32))
+    im2 = jnp.asarray(rng.randn(1, H, W, 3).astype(np.float32))
+    model = FlowNetC(corr_impl="jnp")
+    params = model.init(jax.random.PRNGKey(0), im1, im2)
+    flows = model.apply(params, im1, im2)
+    assert flows[0].shape == (1, H // 4, W // 4, 2)
+    assert flows[4].shape == (1, H // 64, W // 64, 2)
+
+
+def test_flownet_c_shared_towers(rng):
+    model = FlowNetC(corr_impl="jnp")
+    im = jnp.zeros((1, H, W, 3))
+    params = model.init(jax.random.PRNGKey(0), im, im)
+    names = set(params["params"].keys())
+    # one shared tower (conv1..conv3), not two
+    assert "conv1" in names and "conv1_1" not in names
+
+
+def test_full_res_flow_scaling():
+    flows = [jnp.ones((1, H // 4, W // 4, 2))] + [
+        jnp.zeros((1, H // (4 * 2**i), W // (4 * 2**i), 2)) for i in range(1, 5)
+    ]
+    out = full_res_flow(flows, H, W)
+    assert out.shape == (1, H, W, 2)
+    np.testing.assert_allclose(np.asarray(out), 4.0 * FLOW_SCALE, rtol=1e-5)
+
+
+def test_stack_css_structure(rng):
+    im1 = jnp.asarray(rng.randn(1, H, W, 3).astype(np.float32))
+    im2 = jnp.asarray(rng.randn(1, H, W, 3).astype(np.float32))
+    model = FlowNetStack(spec="cS", corr_impl="jnp")
+    params = model.init(jax.random.PRNGKey(0), im1, im2)
+    stages = model.apply(params, im1, im2)
+    assert len(stages) == 2 and len(stages[0]) == 5
+    labels = param_labels("cS", params["params"])
+    assert labels["stage0_C"] == "frozen"
+    assert labels["stage1_S"] == "trainable"
+
+
+def test_stack_frozen_stage_gets_no_gradient(rng):
+    im1 = jnp.asarray(rng.randn(1, H, W, 3).astype(np.float32))
+    im2 = jnp.asarray(rng.randn(1, H, W, 3).astype(np.float32))
+    model = FlowNetStack(spec="sS", corr_impl="jnp")
+    params = model.init(jax.random.PRNGKey(0), im1, im2)
+
+    def loss(p):
+        stages = model.apply(p, im1, im2)
+        return sum(jnp.sum(jnp.square(f)) for f in stages[-1])
+
+    grads = jax.grad(loss)(params)["params"]
+    g_frozen = jax.tree_util.tree_reduce(
+        lambda a, x: a + float(jnp.sum(jnp.abs(x))), grads["stage0_S"], 0.0
+    )
+    g_train = jax.tree_util.tree_reduce(
+        lambda a, x: a + float(jnp.sum(jnp.abs(x))), grads["stage1_S"], 0.0
+    )
+    assert g_frozen == 0.0
+    assert g_train > 0.0
+
+
+def test_backward_flow_shared_params(rng):
+    """Backward flow = same params applied to swapped inputs (reference
+    flownet.py::flownet backward_flow=True semantics)."""
+    im1 = jnp.asarray(rng.randn(1, H, W, 3).astype(np.float32))
+    im2 = jnp.asarray(rng.randn(1, H, W, 3).astype(np.float32))
+    model = FlowNetS()
+    x_fw = jnp.concatenate([im1, im2], -1)
+    x_bw = jnp.concatenate([im2, im1], -1)
+    params = model.init(jax.random.PRNGKey(0), x_fw)
+    f_fw = model.apply(params, x_fw)
+    f_bw = model.apply(params, x_bw)
+    assert f_fw[0].shape == f_bw[0].shape
+    assert not np.allclose(np.asarray(f_fw[0]), np.asarray(f_bw[0]))

@@ -1,0 +1,269 @@
+"""FlowNet-family architectures (S, C, stacked cascades).
+
+Reference: simonmeister/UnFlow ``src/e2eflow/core/flownet.py``::
+``flownet`` (stack dispatcher), ``flownet_s``, ``flownet_c``, and the
+shared decoder helpers (``predict_flow``, deconv chain). Key structural
+facts reproduced here (SURVEY.md §2.2 P1):
+
+  * FlowNetS encoder: 7x7/2·64, 5x5/2·128, 5x5/2·256, 3x3·256,
+    3x3/2·512, ·512, 3x3/2·512, ·512, 3x3/2·1024, ·1024; decoder of
+    4x4/2 deconvs (512, 256, 128, 64) with skip concats and a 2-channel
+    ``predict_flow`` conv at each of 5 scales; finest flow at 1/4
+    resolution. Leaky-ReLU slope 0.1 everywhere except flow predictions.
+  * FlowNetC: shared conv1-3 towers on both frames, correlation
+    (max_displacement 20, stride 2 => 441 channels at 1/8 res) +
+    leaky-ReLU, 1x1 ``conv_redir`` (32ch) on tower 1, concat -> conv3_1,
+    then the same trunk/decoder as S (skip at 1/4 res comes from
+    tower-1's conv2).
+  * Stacking (spec strings like "CSS"): each subsequent net consumes
+    (im1, im2, im2 warped by the previous full-res flow, previous flow,
+    brightness error); lowercase letters mark frozen stages
+    (stop_gradient on their outputs + params excluded from training —
+    see :func:`param_labels`).
+  * Networks predict flow in units scaled down by ``FLOW_SCALE``; the
+    full-resolution flow is the finest prediction bilinearly upsampled
+    4x and multiplied by ``4 * FLOW_SCALE``.
+
+TPU notes: all convs are NHWC and lower straight onto the MXU via XLA;
+``compute_dtype=bfloat16`` runs the towers in bf16 with f32 params
+(flows and losses stay f32). The correlation op dispatches to the
+Pallas kernel on TPU.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from unflow_tpu.ops import backward_warp, correlation
+from unflow_tpu.ops.downsample import resize_bilinear
+
+FLOW_SCALE = 5.0  # reference: src/e2eflow/core/flownet.py::FLOW_SCALE
+
+
+def _leaky(x):
+    return nn.leaky_relu(x, negative_slope=0.1)
+
+
+class _Decoder(nn.Module):
+    """Shared FlowNet decoder: 4 deconv stages + 5 flow predictions.
+
+    Takes the encoder's intermediate features; returns flows finest
+    first: [flow2 (1/4 res), flow3, flow4, flow5, flow6 (1/64 res)].
+    """
+
+    compute_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, skip2, skip3, conv4_1, conv5_1, conv6_1):
+        dt = self.compute_dtype
+
+        def conv_flow(x, name):
+            return nn.Conv(2, (3, 3), padding="SAME", dtype=dt, name=name)(x)
+
+        def deconv(x, features, name):
+            return _leaky(
+                nn.ConvTranspose(
+                    features, (4, 4), strides=(2, 2), padding="SAME", dtype=dt,
+                    name=name,
+                )(x)
+            )
+
+        def upflow(x, name):
+            return nn.ConvTranspose(
+                2, (4, 4), strides=(2, 2), padding="SAME", dtype=dt, name=name
+            )(x)
+
+        flow6 = conv_flow(conv6_1, "predict_flow6")
+        deconv5 = deconv(conv6_1, 512, "deconv5")
+        cat5 = jnp.concatenate([conv5_1, deconv5, upflow(flow6, "upflow6to5")], -1)
+
+        flow5 = conv_flow(cat5, "predict_flow5")
+        deconv4 = deconv(cat5, 256, "deconv4")
+        cat4 = jnp.concatenate([conv4_1, deconv4, upflow(flow5, "upflow5to4")], -1)
+
+        flow4 = conv_flow(cat4, "predict_flow4")
+        deconv3 = deconv(cat4, 128, "deconv3")
+        cat3 = jnp.concatenate([skip3, deconv3, upflow(flow4, "upflow4to3")], -1)
+
+        flow3 = conv_flow(cat3, "predict_flow3")
+        deconv2 = deconv(cat3, 64, "deconv2")
+        cat2 = jnp.concatenate([skip2, deconv2, upflow(flow3, "upflow3to2")], -1)
+
+        flow2 = conv_flow(cat2, "predict_flow2")
+        f32 = jnp.float32
+        return [flow2.astype(f32), flow3.astype(f32), flow4.astype(f32),
+                flow5.astype(f32), flow6.astype(f32)]
+
+
+class FlowNetS(nn.Module):
+    """FlowNet-Simple: operates on channel-concatenated inputs.
+
+    Reference: src/e2eflow/core/flownet.py::flownet_s.
+    """
+
+    compute_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> list[jax.Array]:
+        dt = self.compute_dtype
+        x = x.astype(dt)
+
+        def conv(x, features, kernel, stride, name):
+            return _leaky(
+                nn.Conv(
+                    features, (kernel, kernel), strides=(stride, stride),
+                    padding="SAME", dtype=dt, name=name,
+                )(x)
+            )
+
+        c1 = conv(x, 64, 7, 2, "conv1")
+        c2 = conv(c1, 128, 5, 2, "conv2")
+        c3 = conv(c2, 256, 5, 2, "conv3")
+        c3_1 = conv(c3, 256, 3, 1, "conv3_1")
+        c4 = conv(c3_1, 512, 3, 2, "conv4")
+        c4_1 = conv(c4, 512, 3, 1, "conv4_1")
+        c5 = conv(c4_1, 512, 3, 2, "conv5")
+        c5_1 = conv(c5, 512, 3, 1, "conv5_1")
+        c6 = conv(c5_1, 1024, 3, 2, "conv6")
+        c6_1 = conv(c6, 1024, 3, 1, "conv6_1")
+        return _Decoder(compute_dtype=dt, name="decoder")(c2, c3_1, c4_1, c5_1, c6_1)
+
+
+class FlowNetC(nn.Module):
+    """FlowNet-Correlation: shared towers + cost volume.
+
+    Reference: src/e2eflow/core/flownet.py::flownet_c.
+    """
+
+    compute_dtype: jnp.dtype = jnp.float32
+    max_displacement: int = 20
+    corr_stride: int = 2
+    corr_impl: str | None = None  # None -> ops registry default ("auto")
+
+    @nn.compact
+    def __call__(self, im1: jax.Array, im2: jax.Array) -> list[jax.Array]:
+        dt = self.compute_dtype
+
+        def conv(x, features, kernel, stride, name):
+            return _leaky(
+                nn.Conv(
+                    features, (kernel, kernel), strides=(stride, stride),
+                    padding="SAME", dtype=dt, name=name,
+                )(x)
+            )
+
+        # Shared feature towers (same submodules applied to both frames).
+        conv1 = nn.Conv(64, (7, 7), strides=(2, 2), padding="SAME", dtype=dt, name="conv1")
+        conv2 = nn.Conv(128, (5, 5), strides=(2, 2), padding="SAME", dtype=dt, name="conv2")
+        conv3 = nn.Conv(256, (5, 5), strides=(2, 2), padding="SAME", dtype=dt, name="conv3")
+
+        def tower(im):
+            c1 = _leaky(conv1(im.astype(dt)))
+            c2 = _leaky(conv2(c1))
+            c3 = _leaky(conv3(c2))
+            return c2, c3
+
+        c2a, c3a = tower(im1)
+        _, c3b = tower(im2)
+
+        corr = correlation(
+            c3a, c3b, max_displacement=self.max_displacement,
+            stride=self.corr_stride, impl=self.corr_impl,
+        )
+        corr = _leaky(corr.astype(dt))
+        redir = conv(c3a, 32, 1, 1, "conv_redir")
+        x = jnp.concatenate([corr, redir], -1)
+
+        c3_1 = conv(x, 256, 3, 1, "conv3_1")
+        c4 = conv(c3_1, 512, 3, 2, "conv4")
+        c4_1 = conv(c4, 512, 3, 1, "conv4_1")
+        c5 = conv(c4_1, 512, 3, 2, "conv5")
+        c5_1 = conv(c5, 512, 3, 1, "conv5_1")
+        c6 = conv(c5_1, 1024, 3, 2, "conv6")
+        c6_1 = conv(c6, 1024, 3, 1, "conv6_1")
+        return _Decoder(compute_dtype=dt, name="decoder")(c2a, c3_1, c4_1, c5_1, c6_1)
+
+
+def full_res_flow(flows: Sequence[jax.Array], height: int, width: int) -> jax.Array:
+    """Finest prediction -> full-resolution flow in pixels.
+
+    flows[0] is at 1/4 resolution in FLOW_SCALE-compressed units;
+    upsampling 4x scales the vectors by 4 (reference:
+    src/e2eflow/core/unsupervised.py final flow assembly).
+    """
+    return resize_bilinear(flows[0] * (4.0 * FLOW_SCALE), height, width)
+
+
+class FlowNetStack(nn.Module):
+    """Stacked cascade per a spec string, e.g. "C", "CS", "css", "CSS".
+
+    Reference: src/e2eflow/core/flownet.py::flownet (stack dispatcher).
+    Uppercase letters are trainable stages, lowercase are frozen
+    (outputs stop-gradiented here; exclude their params via
+    :func:`param_labels`). Stage i>0 consumes
+    concat(im1, im2, warp(im2, flow_prev), flow_prev, brightness_error).
+
+    Returns a list (one entry per stage) of 5-scale flow lists, finest
+    first, in raw network units (multiply by FLOW_SCALE and upsample for
+    pixel-space flow).
+    """
+
+    spec: str = "C"
+    compute_dtype: jnp.dtype = jnp.float32
+    corr_impl: str | None = None
+
+    @nn.compact
+    def __call__(self, im1: jax.Array, im2: jax.Array) -> list[list[jax.Array]]:
+        if not self.spec or self.spec[0].upper() not in ("C", "S"):
+            raise ValueError(f"bad stack spec {self.spec!r}")
+        b, h, w, _ = im1.shape
+        stage_flows: list[list[jax.Array]] = []
+        flow_prev = None
+        for i, ch in enumerate(self.spec):
+            kind = ch.upper()
+            name = f"stage{i}_{kind}"
+            if i == 0:
+                if kind == "C":
+                    flows = FlowNetC(
+                        compute_dtype=self.compute_dtype,
+                        corr_impl=self.corr_impl, name=name,
+                    )(im1, im2)
+                else:
+                    flows = FlowNetS(compute_dtype=self.compute_dtype, name=name)(
+                        jnp.concatenate([im1, im2], -1)
+                    )
+            else:
+                if kind != "S":
+                    raise ValueError(
+                        f"only FlowNetS refinement stages are supported after the "
+                        f"first net (spec {self.spec!r})"
+                    )
+                warped = backward_warp(im2, flow_prev)
+                err = jnp.linalg.norm(im1 - warped, axis=-1, keepdims=True)
+                x = jnp.concatenate([im1, im2, warped, flow_prev, err], -1)
+                flows = FlowNetS(compute_dtype=self.compute_dtype, name=name)(x)
+            if ch.islower():
+                flows = [jax.lax.stop_gradient(f) for f in flows]
+            stage_flows.append(flows)
+            flow_prev = full_res_flow(flows, h, w)
+        return stage_flows
+
+
+def param_labels(spec: str, params) -> dict:
+    """Label each stage's param subtree 'frozen'/'trainable' for optax.
+
+    Lowercase spec letters (reference semantics: restored from a prior
+    experiment and kept fixed) map to 'frozen'.
+    """
+    labels = {}
+    for key in params:
+        trainable = True
+        for i, ch in enumerate(spec):
+            if key.startswith(f"stage{i}_") and ch.islower():
+                trainable = False
+        labels[key] = "trainable" if trainable else "frozen"
+    return labels
