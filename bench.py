@@ -1,0 +1,87 @@
+"""Headline benchmark: unsupervised FlowNetC training throughput.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "pairs/sec/chip", "vs_baseline": N}
+
+Measures the full UnFlow-C unsupervised train step (forward + backward
+flow passes, census + 2nd-order smoothness + fb-consistency losses,
+Adam update) at the reference's KITTI training crop 320x1152, batch 4,
+bf16 towers + f32 losses, Pallas correlation — on one real TPU chip.
+
+Baseline methodology: the reference repo publishes NO throughput numbers
+(BASELINE.md). The denominator used here is 10.0 image pairs/sec/chip,
+a generous estimate for the TF1 implementation on a 2017-class GPU
+(GTX 1080 Ti: ~0.4 s/step at batch 4 for FlowNetC + bidirectional
+census losses with custom CUDA ops). Revisit once the reference is
+runnable (BASELINE.md north star: >= 5x that).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+BASELINE_PAIRS_PER_SEC = 10.0
+BATCH = 4
+HEIGHT, WIDTH = 320, 1152
+WARMUP = 3
+ITERS = 10
+
+
+def main() -> None:
+    from unflow_tpu.config import Config
+    from unflow_tpu.data.synthetic import batch_iterator
+    from unflow_tpu.train import TrainState, build_model, build_optimizer, make_train_step
+
+    cfg = Config()
+    t = cfg.train
+    t.flownet = "C"
+    t.height, t.width = HEIGHT, WIDTH
+    t.batch_size = BATCH
+    t.compute_dtype = "bfloat16" if jax.default_backend() == "tpu" else "float32"
+
+    model = build_model(cfg)
+    sample = jnp.zeros((1, HEIGHT, WIDTH, 3), jnp.float32)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), sample, sample)["params"]
+    tx = build_optimizer(cfg, params)
+    state = TrainState(jnp.zeros((), jnp.int32), params, tx.init(params))
+
+    batch_np = next(batch_iterator(BATCH, HEIGHT, WIDTH, seed=0))
+    batch = {k: jnp.asarray(v) for k, v in batch_np.items()}
+    rng = jax.random.PRNGKey(0)
+
+    step = jax.jit(make_train_step(model, tx, cfg), donate_argnums=(0,))
+
+    # NOTE: on this environment's tunneled TPU (axon PJRT plugin),
+    # jax.block_until_ready returns without waiting; a host fetch of the
+    # final loss is the reliable sync (it depends transitively on every
+    # step's params, so pipelined steps are fully accounted).
+    for _ in range(WARMUP):
+        state, logs = step(state, batch, rng)
+    float(logs["loss"])
+
+    t0 = time.perf_counter()
+    for _ in range(ITERS):
+        state, logs = step(state, batch, rng)
+    loss = float(logs["loss"])
+    dt = time.perf_counter() - t0
+    assert np.isfinite(loss), f"non-finite loss: {loss}"
+    pairs_per_sec = BATCH * ITERS / dt
+    print(
+        json.dumps(
+            {
+                "metric": "unflow_c_train_pairs_per_sec_kitti_crop_320x1152",
+                "value": round(pairs_per_sec, 3),
+                "unit": "pairs/sec/chip",
+                "vs_baseline": round(pairs_per_sec / BASELINE_PAIRS_PER_SEC, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,218 @@
+"""Data layer tests: format IO roundtrips, dataset enumeration, loader."""
+
+import numpy as np
+import pytest
+
+from unflow_tpu.data import (
+    KITTI2012,
+    KITTIRaw,
+    Loader,
+    Sintel,
+    FlyingChairs,
+    Middlebury,
+    Synthia,
+    get_dataset,
+)
+from unflow_tpu.data.base import Example, fit_to_shape
+from unflow_tpu.data.io import (
+    read_flo,
+    read_image,
+    read_kitti_png_flow,
+    write_flo,
+    write_image,
+    write_kitti_png_flow,
+    pad_to_multiple,
+)
+from unflow_tpu.data.png16 import read_png16, write_png16
+
+
+def test_flo_roundtrip(tmp_path, rng):
+    flow = rng.randn(17, 23, 2).astype(np.float32)
+    write_flo(tmp_path / "a.flo", flow)
+    got = read_flo(tmp_path / "a.flo")
+    np.testing.assert_array_equal(got, flow)
+
+
+def test_png16_roundtrip(tmp_path, rng):
+    arr = rng.randint(0, 2**16, (11, 13, 3)).astype(np.uint16)
+    write_png16(tmp_path / "a.png", arr)
+    got = read_png16(tmp_path / "a.png")
+    np.testing.assert_array_equal(got, arr)
+
+
+def test_png16_reads_pil_8bit(tmp_path, rng):
+    # Our decoder must read ordinary 8-bit PNGs (PIL-written) too.
+    im = rng.rand(9, 15, 3).astype(np.float32)
+    write_image(tmp_path / "a.png", im)
+    got = read_png16(tmp_path / "a.png")
+    assert got.shape == (9, 15, 3)
+    np.testing.assert_allclose(
+        got.astype(np.float32) / 255.0, im, atol=1.0 / 255
+    )
+
+
+def test_kitti_png_flow_roundtrip(tmp_path, rng):
+    flow = (rng.randn(10, 12, 2) * 30).astype(np.float32)
+    valid = (rng.rand(10, 12, 1) > 0.5).astype(np.float32)
+    write_kitti_png_flow(tmp_path / "f.png", flow, valid)
+    got_flow, got_valid = read_kitti_png_flow(tmp_path / "f.png")
+    np.testing.assert_array_equal(got_valid, valid)
+    # quantization: 1/64 px
+    np.testing.assert_allclose(got_flow, flow * valid, atol=1.0 / 64 + 1e-6)
+
+
+def test_image_roundtrip(tmp_path, rng):
+    im = rng.rand(8, 8, 3).astype(np.float32)
+    write_image(tmp_path / "im.png", im)
+    got = read_image(tmp_path / "im.png")
+    np.testing.assert_allclose(got, im, atol=1.0 / 255)
+
+
+def test_pad_to_multiple(rng):
+    im = rng.rand(375, 1242, 3).astype(np.float32)
+    padded, orig = pad_to_multiple(im, 64)
+    assert padded.shape == (384, 1280, 3)
+    assert orig == (375, 1242)
+    np.testing.assert_array_equal(padded[:375, :1242], im)
+
+
+def test_fit_to_shape(rng):
+    im = rng.rand(20, 30, 3).astype(np.float32)
+    assert fit_to_shape(im, (16, 24)).shape == (16, 24, 3)
+    assert fit_to_shape(im, (32, 40)).shape == (32, 40, 3)
+    assert fit_to_shape(im, (16, 40)).shape == (16, 40, 3)
+
+
+# --- dataset layout fixtures -------------------------------------------------
+
+
+def _make_kitti_raw(root, rng, n_frames=4):
+    d = root / "kitti_raw" / "2011_09_26_drive_0001" / "image_02" / "data"
+    d.mkdir(parents=True)
+    for i in range(n_frames):
+        write_image(d / f"{i:010d}.png", rng.rand(16, 32, 3).astype(np.float32))
+
+
+def _make_kitti_2012(root, rng, n=2):
+    base = root / "kitti_2012" / "training"
+    for sub in ("colored_0", "flow_occ", "flow_noc"):
+        (base / sub).mkdir(parents=True)
+    for i in range(n):
+        for suffix in ("10", "11"):
+            write_image(
+                base / "colored_0" / f"{i:06d}_{suffix}.png",
+                rng.rand(16, 32, 3).astype(np.float32),
+            )
+        flow = rng.randn(16, 32, 2).astype(np.float32)
+        valid = np.ones((16, 32, 1), np.float32)
+        for sub in ("flow_occ", "flow_noc"):
+            write_kitti_png_flow(base / sub / f"{i:06d}_10.png", flow, valid)
+
+
+def test_kitti_raw_enumeration(tmp_path, rng):
+    _make_kitti_raw(tmp_path, rng)
+    ds = KITTIRaw(tmp_path)
+    examples = ds.train_examples()
+    assert len(examples) == 3  # 4 frames -> 3 consecutive pairs
+    assert examples[0].flow is None
+
+
+def test_kitti_2012_enumeration(tmp_path, rng):
+    _make_kitti_2012(tmp_path, rng)
+    ds = KITTI2012(tmp_path)
+    train = ds.train_examples()
+    assert len(train) == 2
+    assert train[0].flow_format == "kitti_png"
+    assert len(ds.eval_examples("noc")) == 2
+
+
+def test_sintel_enumeration(tmp_path, rng):
+    base = tmp_path / "sintel" / "training"
+    (base / "clean" / "alley_1").mkdir(parents=True)
+    (base / "flow" / "alley_1").mkdir(parents=True)
+    for i in (1, 2, 3):
+        write_image(
+            base / "clean" / "alley_1" / f"frame_{i:04d}.png",
+            rng.rand(16, 32, 3).astype(np.float32),
+        )
+    for i in (1, 2):
+        write_flo(
+            base / "flow" / "alley_1" / f"frame_{i:04d}.flo",
+            rng.randn(16, 32, 2).astype(np.float32),
+        )
+    ds = Sintel(tmp_path, render_pass="clean")
+    assert len(ds.train_examples()) == 2
+    assert len(ds.eval_examples()) == 2
+    with pytest.raises(ValueError):
+        Sintel(tmp_path, render_pass="bogus")
+
+
+def test_chairs_enumeration_and_split(tmp_path, rng):
+    d = tmp_path / "chairs" / "data"
+    d.mkdir(parents=True)
+    for i in range(1, 4):
+        for k in (1, 2):
+            write_image(d / f"{i:05d}_img{k}.ppm", rng.rand(8, 8, 3).astype(np.float32))
+        write_flo(d / f"{i:05d}_flow.flo", rng.randn(8, 8, 2).astype(np.float32))
+    (tmp_path / "chairs" / "FlyingChairs_train_val.txt").write_text("1\n2\n1\n")
+    ds = FlyingChairs(tmp_path)
+    assert len(ds.train_examples()) == 2
+    assert len(ds.eval_examples()) == 1
+
+
+def test_middlebury_enumeration(tmp_path, rng):
+    for scene in ("Grove2", "Urban3"):
+        d = tmp_path / "middlebury" / "other-data" / scene
+        d.mkdir(parents=True)
+        for f in ("frame10.png", "frame11.png"):
+            write_image(d / f, rng.rand(8, 8, 3).astype(np.float32))
+        g = tmp_path / "middlebury" / "other-gt-flow" / scene
+        g.mkdir(parents=True)
+        write_flo(g / "flow10.flo", rng.randn(8, 8, 2).astype(np.float32))
+    ds = Middlebury(tmp_path)
+    assert len(ds.eval_examples()) == 2
+
+
+def test_synthia_enumeration(tmp_path, rng):
+    d = tmp_path / "synthia" / "SEQ1" / "RGB" / "Stereo_Left" / "Omni_F"
+    d.mkdir(parents=True)
+    for i in range(3):
+        write_image(d / f"{i:06d}.png", rng.rand(8, 8, 3).astype(np.float32))
+    assert len(Synthia(tmp_path).train_examples()) == 2
+
+
+def test_missing_dataset_raises(tmp_path):
+    with pytest.raises(FileNotFoundError):
+        KITTIRaw(tmp_path).train_examples()
+    with pytest.raises(KeyError):
+        get_dataset("bogus", tmp_path)
+
+
+def test_loader_batches_and_determinism(tmp_path, rng):
+    _make_kitti_2012(tmp_path, rng, n=4)
+    ds = KITTI2012(tmp_path)
+    examples = ds.train_examples()
+
+    def first_two(seed):
+        loader = Loader(
+            examples, batch_size=2, load_hw=(16, 32), supervised=True, seed=seed
+        )
+        it = iter(loader)
+        return [next(it) for _ in range(2)]
+
+    a = first_two(0)
+    b = first_two(0)
+    c = first_two(1)
+    assert a[0]["im1"].shape == (2, 16, 32, 3)
+    assert a[0]["flow"].shape == (2, 16, 32, 2)
+    np.testing.assert_array_equal(a[0]["im1"], b[0]["im1"])
+    np.testing.assert_array_equal(a[1]["mask"], b[1]["mask"])
+    assert not np.array_equal(a[0]["im1"], c[0]["im1"])
+
+
+def test_loader_no_loop(tmp_path, rng):
+    _make_kitti_raw(tmp_path, rng, n_frames=5)
+    examples = KITTIRaw(tmp_path).train_examples()  # 4 pairs
+    loader = Loader(examples, batch_size=2, load_hw=(16, 32), loop=False, shuffle=False)
+    batches = list(loader)
+    assert len(batches) == 2

@@ -1,0 +1,90 @@
+"""Training entry point.
+
+Reference: simonmeister/UnFlow ``src/run.py`` — parses ``--ex``
+(experiment name) + overrides, creates/reuses ``<log>/ex/<name>/``,
+copies config.ini into the experiment dir (the snapshot governs
+resumes), dispatches dataset -> input pipeline, and runs the Trainer
+(SURVEY.md §2.2 P17).
+
+Usage:
+  python -m unflow_tpu.cli.train --config config.ini --ex my_experiment
+  python -m unflow_tpu.cli.train --ex smoke --set dataset=synthetic \
+      --set num_iters=20 --set height=64 --set width=128
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+from pathlib import Path
+
+from unflow_tpu.config import Config, _coerce, _FIELD_TYPES, load_config, prepare_experiment_dir
+from unflow_tpu.data import get_dataset
+from unflow_tpu.data.base import Loader
+from unflow_tpu.data.synthetic import batch_iterator as synthetic_batches
+from unflow_tpu.train import Trainer
+from unflow_tpu.train.trainer import DEFAULT_NORMALIZATION
+
+
+def build_batches_and_norm(cfg: Config):
+    t = cfg.train
+    if t.dataset == "synthetic":
+        return (
+            synthetic_batches(
+                t.batch_size, t.height, t.width, seed=t.seed, supervised=t.supervised
+            ),
+            DEFAULT_NORMALIZATION,
+        )
+    dataset = get_dataset(t.dataset, cfg.dirs.data)
+    examples = dataset.train_examples()
+    loader = Loader(
+        examples,
+        batch_size=t.batch_size,
+        load_hw=(t.height, t.width),
+        supervised=t.supervised,
+        seed=t.seed,
+    )
+    return iter(loader), dataset.normalization
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--config", default=None, help="config.ini path")
+    ap.add_argument("--ex", required=True, help="experiment name")
+    ap.add_argument(
+        "--set", action="append", default=[], metavar="KEY=VALUE",
+        help="override a [train] config key",
+    )
+    ap.add_argument("--debug", action="store_true", help="tiny smoke run")
+    args = ap.parse_args(argv)
+
+    cfg = load_config(args.config) if args.config else Config()
+    for kv in args.set:
+        key, _, value = kv.partition("=")
+        if key not in _FIELD_TYPES:
+            raise SystemExit(f"unknown config key {key!r}")
+        setattr(cfg.train, key, _coerce(value, _FIELD_TYPES[key]))
+    if args.debug:
+        cfg.train.num_iters = min(cfg.train.num_iters, 10)
+        cfg.train.display_interval = 1
+        cfg.train.save_interval = 10
+
+    ex_dir = prepare_experiment_dir(cfg, args.ex, args.config)
+    snapshot = ex_dir / "config.ini"
+    if snapshot.exists() and args.config is None:
+        # resume: the snapshot governs (reference src/run.py semantics)
+        cfg = load_config(snapshot)
+
+    batches, norm = build_batches_and_norm(cfg)
+    trainer = Trainer(cfg, ex_dir, batches, normalization=norm)
+    print(f"experiment {args.ex}: step {trainer.step} -> {cfg.train.num_iters}")
+    logs = trainer.run()
+    if "loss" in logs:
+        print(f"done at step {trainer.step}: loss={logs['loss']:.5g}")
+    else:
+        print(f"already complete at step {trainer.step}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

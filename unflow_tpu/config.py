@@ -1,0 +1,164 @@
+"""Configuration system: dataclasses + INI files + experiment dirs.
+
+Reference: simonmeister/UnFlow root ``config.ini`` parsed by
+``src/e2eflow/util.py::config_dict`` (sections [dirs]/[run]/[train] with
+per-dataset override sections like [train_kitti]), and ``src/run.py``'s
+experiment-dir semantics: the config is snapshotted into
+``<log>/ex/<name>/config.ini`` and the snapshot governs resumes — that
+behavior is load-bearing for the stacked CSS recipes and is preserved
+here (SURVEY.md §5 config row).
+"""
+
+from __future__ import annotations
+
+import configparser
+import dataclasses
+import shutil
+from pathlib import Path
+
+
+@dataclasses.dataclass
+class TrainConfig:
+    dataset: str = "synthetic"
+    flownet: str = "C"
+    batch_size: int = 4
+    height: int = 320
+    width: int = 1152
+    num_iters: int = 500_000
+    learning_rate: float = 1.0e-4
+    decay_after: int = 100_000
+    decay_interval: int = 100_000
+    weight_decay: float = 0.0
+    save_interval: int = 5_000
+    display_interval: int = 100
+    # loss-term weights (reference config keys like ternary_weight)
+    occ_weight: float = 12.4
+    sym_weight: float = 0.0
+    fb_weight: float = 0.2
+    grad_weight: float = 0.0
+    ternary_weight: float = 1.0
+    photo_weight: float = 0.0
+    smooth_1st_weight: float = 0.0
+    smooth_2nd_weight: float = 3.0
+    mask_occlusion: str = "fb"  # fb | disocc | (empty)
+    border_ratio: float = 0.0
+    train_all: bool = False
+    supervised: bool = False
+    finetune: tuple[str, ...] = ()
+    # TPU-native knobs (no reference counterpart)
+    compute_dtype: str = "bfloat16"  # model tower dtype; losses stay f32
+    corr_impl: str = "auto"
+    num_devices: int = 0  # 0 = all visible
+    spatial_shards: int = 1
+    seed: int = 0
+
+    def loss_weights(self) -> dict[str, float]:
+        return {
+            "occ": self.occ_weight,
+            "sym": self.sym_weight,
+            "fb": self.fb_weight,
+            "grad": self.grad_weight,
+            "ternary": self.ternary_weight,
+            "photo": self.photo_weight,
+            "smooth_1st": self.smooth_1st_weight,
+            "smooth_2nd": self.smooth_2nd_weight,
+        }
+
+
+@dataclasses.dataclass
+class DirsConfig:
+    data: str = "data"
+    log: str = "log"
+
+
+@dataclasses.dataclass
+class Config:
+    dirs: DirsConfig = dataclasses.field(default_factory=DirsConfig)
+    train: TrainConfig = dataclasses.field(default_factory=TrainConfig)
+
+    def experiment_dir(self, name: str) -> Path:
+        return Path(self.dirs.log) / "ex" / name
+
+
+def _coerce(value: str, field_type):
+    if field_type is bool:
+        return value.strip().lower() in ("1", "true", "yes", "on")
+    if field_type is int:
+        return int(value)
+    if field_type is float:
+        return float(value)
+    if field_type == tuple[str, ...]:
+        return tuple(v.strip() for v in value.split(",") if v.strip())
+    return value
+
+
+def load_config(path: str | Path, dataset_overrides: bool = True) -> Config:
+    """Parse an INI config; per-dataset [train_<dataset>] sections override
+    [train] keys, mirroring the reference's section layering."""
+    parser = configparser.ConfigParser()
+    read = parser.read(str(path))
+    if not read:
+        raise FileNotFoundError(path)
+
+    cfg = Config()
+    if parser.has_section("dirs"):
+        for key, val in parser.items("dirs"):
+            if hasattr(cfg.dirs, key):
+                setattr(cfg.dirs, key, val)
+
+    fields = {f.name: f.type for f in dataclasses.fields(TrainConfig)}
+
+    def apply(section):
+        for key, val in parser.items(section):
+            if key in fields:
+                setattr(cfg.train, key, _coerce(val, _FIELD_TYPES[key]))
+            else:
+                raise KeyError(f"unknown config key [{section}] {key}")
+
+    if parser.has_section("train"):
+        apply("train")
+    if dataset_overrides:
+        override = f"train_{cfg.train.dataset}"
+        if parser.has_section(override):
+            apply(override)
+    return cfg
+
+
+_FIELD_TYPES = {
+    f.name: (
+        tuple[str, ...] if f.name == "finetune" else f.type
+        if isinstance(f.type, type) else
+        {"str": str, "int": int, "float": float, "bool": bool,
+         "tuple[str, ...]": tuple[str, ...]}[f.type]
+    )
+    for f in dataclasses.fields(TrainConfig)
+}
+
+
+def save_config(cfg: Config, path: str | Path) -> None:
+    parser = configparser.ConfigParser()
+    parser["dirs"] = dataclasses.asdict(cfg.dirs)
+    train = {}
+    for key, val in dataclasses.asdict(cfg.train).items():
+        train[key] = ",".join(val) if isinstance(val, tuple) else str(val)
+    parser["train"] = train
+    with open(path, "w") as f:
+        parser.write(f)
+
+
+def prepare_experiment_dir(cfg: Config, name: str, config_path: str | Path | None = None) -> Path:
+    """Create (or reuse) the experiment dir, snapshotting the config.
+
+    On resume, the snapshot wins over the passed config — reference
+    semantics from src/run.py (the copied config.ini governs resumes).
+    """
+    ex_dir = cfg.experiment_dir(name)
+    snapshot = ex_dir / "config.ini"
+    ex_dir.mkdir(parents=True, exist_ok=True)
+    if snapshot.exists():
+        return ex_dir
+    if config_path is not None and Path(config_path).exists():
+        shutil.copy(config_path, snapshot)
+    else:
+        save_config(cfg, snapshot)
+    return ex_dir

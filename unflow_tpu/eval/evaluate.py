@@ -1,0 +1,116 @@
+"""Evaluation harness: run a checkpointed model over a dataset, compute
+AEE / Fl, optionally dump benchmark files and visualizations.
+
+Reference: simonmeister/UnFlow ``src/eval_gui.py`` — restores an
+experiment checkpoint, runs the net over an eval variant (kitti_2012,
+kitti_2015, sintel_clean, ...), accumulates AEE / outlier percentages,
+pages results through a matplotlib GUI, and with ``--output`` writes
+``.flo`` / KITTI 16-bit PNG submission files (SURVEY.md §2.2 P18).
+
+Headless by default here; the matplotlib pager lives in
+:mod:`unflow_tpu.eval.gui`.
+"""
+
+from __future__ import annotations
+
+import functools
+from pathlib import Path
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from unflow_tpu.augment import normalize
+from unflow_tpu.config import Config
+from unflow_tpu.data.base import Example, load_example
+from unflow_tpu.data.io import pad_to_multiple, write_flo, write_kitti_png_flow, write_image
+from unflow_tpu.eval.flow_viz import flow_error_image, flow_to_color
+from unflow_tpu.eval.metrics import flow_error_avg, outlier_fraction
+from unflow_tpu.models import full_res_flow
+from unflow_tpu.train import build_model, restore_params
+from unflow_tpu.train.trainer import DEFAULT_NORMALIZATION
+
+
+class Evaluator:
+    def __init__(
+        self,
+        cfg: Config,
+        exp_dir: str | Path,
+        normalization=DEFAULT_NORMALIZATION,
+        params=None,
+    ):
+        self.cfg = cfg
+        self.model = build_model(cfg)
+        self.normalization = normalization
+        if params is None:
+            params = restore_params(exp_dir)
+        self.params = params
+
+        mean, std = self.normalization
+
+        @jax.jit
+        def _forward(params, im1, im2):
+            stages = self.model.apply(
+                {"params": params}, normalize(im1, mean, std), normalize(im2, mean, std)
+            )
+            h, w = im1.shape[1:3]
+            return full_res_flow(stages[-1], h, w)
+
+        self._forward = _forward
+
+    def predict(self, im1: np.ndarray, im2: np.ndarray) -> np.ndarray:
+        """Single unbatched pair (H, W, 3) -> (H, W, 2) flow; pads to /64."""
+        p1, orig = pad_to_multiple(im1, 64)
+        p2, _ = pad_to_multiple(im2, 64)
+        flow = self._forward(self.params, jnp.asarray(p1[None]), jnp.asarray(p2[None]))
+        return np.asarray(flow)[0, : orig[0], : orig[1]]
+
+    def run(
+        self,
+        examples: Sequence[Example],
+        max_examples: int | None = None,
+        output_dir: str | Path | None = None,
+        output_format: str = "flo",  # flo | kitti_png | viz
+    ) -> dict:
+        """Returns {'aee': ..., 'fl': ..., 'n': ...} over valid pixels."""
+        out_dir = Path(output_dir) if output_dir else None
+        if out_dir:
+            out_dir.mkdir(parents=True, exist_ok=True)
+        aee_sum = fl_sum = 0.0
+        n = 0
+        for i, ex in enumerate(examples):
+            if max_examples is not None and i >= max_examples:
+                break
+            item = load_example(ex, target_hw=None, supervised=ex.flow is not None)
+            flow = self.predict(item["im1"], item["im2"])
+            if ex.flow is not None:
+                gt = jnp.asarray(item["flow"][None])
+                mask = jnp.asarray(item["mask"][None])
+                pred = jnp.asarray(flow[None])
+                aee_sum += float(flow_error_avg(pred, gt, mask))
+                fl_sum += float(outlier_fraction(pred, gt, mask))
+            n += 1
+            if out_dir:
+                stem = ex.meta.get("id") or ex.meta.get("scene") or f"{i:06d}"
+                if output_format == "flo":
+                    write_flo(out_dir / f"{stem}.flo", flow)
+                elif output_format == "kitti_png":
+                    write_kitti_png_flow(out_dir / f"{stem}_10.png", flow)
+                elif output_format == "viz":
+                    write_image(out_dir / f"{stem}_flow.png", flow_to_color(flow))
+                    if ex.flow is not None:
+                        write_image(
+                            out_dir / f"{stem}_err.png",
+                            flow_error_image(flow, item["flow"], item["mask"]),
+                        )
+                else:
+                    raise ValueError(f"unknown output format {output_format!r}")
+        if n == 0:
+            raise ValueError("no examples evaluated")
+        has_gt = any(ex.flow is not None for ex in examples[:n])
+        return {
+            "aee": aee_sum / n if has_gt else float("nan"),
+            "fl": fl_sum / n if has_gt else float("nan"),
+            "n": n,
+        }

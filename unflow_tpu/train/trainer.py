@@ -1,0 +1,238 @@
+"""Training loop: jitted train step, GSPMD data parallelism, resume.
+
+Reference: simonmeister/UnFlow ``src/e2eflow/core/train.py::Trainer`` —
+builds the train graph from a batch fn + loss fn, Adam with piecewise-
+halved LR, Saver checkpoints every ``save_interval``, summaries every
+``display_interval``, restores prior experiments' checkpoints for
+stacked training, multi-GPU via in-graph towers + averaged gradients.
+
+TPU-native redesign (SURVEY.md §1 runtime note): the TF1 graph executor
+and queue runners are replaced by one jitted, buffer-donated train step;
+parallelism is GSPMD over a device mesh (batch axis sharded, params
+replicated, gradient all-reduce inserted by XLA over ICI); augmentation
+runs on-device inside the step; state is an explicit pytree checkpointed
+with orbax.
+"""
+
+from __future__ import annotations
+
+import functools
+import time
+from pathlib import Path
+from typing import Any, Callable, Iterable, Sequence
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import optax
+
+from unflow_tpu.augment import normalize, random_crop_flip, random_photometric
+from unflow_tpu.config import Config
+from unflow_tpu.losses import supervised_loss, unsupervised_loss
+from unflow_tpu.models import FlowNetStack, param_labels
+from unflow_tpu.parallel import batch_sharding, create_mesh, replicated
+from unflow_tpu.train.checkpoint import CheckpointManager, init_stages_from
+from unflow_tpu.train.schedule import piecewise_halving
+from unflow_tpu.utils import MetricsLogger
+
+DEFAULT_NORMALIZATION = ((104.92, 110.18, 114.47), 60.0)
+
+
+@flax.struct.dataclass
+class TrainState:
+    step: jax.Array
+    params: Any
+    opt_state: Any
+
+
+def build_model(cfg: Config) -> FlowNetStack:
+    t = cfg.train
+    return FlowNetStack(
+        spec=t.flownet,
+        compute_dtype=jnp.bfloat16 if t.compute_dtype == "bfloat16" else jnp.float32,
+        corr_impl=None if t.corr_impl == "auto" else t.corr_impl,
+    )
+
+
+def build_optimizer(cfg: Config, params: dict) -> optax.GradientTransformation:
+    t = cfg.train
+    schedule = piecewise_halving(t.learning_rate, t.decay_after, t.decay_interval)
+    adam = optax.adam(schedule)
+    if t.weight_decay > 0:
+        adam = optax.chain(optax.add_decayed_weights(t.weight_decay), adam)
+    labels = param_labels(t.flownet, params)
+    if "frozen" in labels.values():
+        return optax.multi_transform(
+            {"trainable": adam, "frozen": optax.set_to_zero()}, labels
+        )
+    return adam
+
+
+def make_train_step(
+    model: FlowNetStack,
+    tx: optax.GradientTransformation,
+    cfg: Config,
+    normalization=DEFAULT_NORMALIZATION,
+) -> Callable:
+    """Returns train_step(state, batch, rng) -> (state, logs).
+
+    batch: {'im1', 'im2'} in [0,1] floats (+ 'flow','mask' if supervised),
+    any size >= (height, width); cropping/flip/photometric run on-device.
+    """
+    t = cfg.train
+    weights = cfg.train.loss_weights()
+    mean, stddev = normalization
+    crop_hw = (t.height, t.width)
+
+    def train_step(state: TrainState, batch: dict, rng: jax.Array):
+        step_rng = jax.random.fold_in(rng, state.step)
+        k_geo, k_photo = jax.random.split(step_rng)
+
+        ims = [batch["im1"], batch["im2"]]
+        gt = [batch["flow"]] if t.supervised else None
+        ims, gt = random_crop_flip(k_geo, ims, crop_hw, flows=gt)
+        if t.supervised and "mask" in batch:
+            (mask,), _ = random_crop_flip(k_geo, [batch["mask"]], crop_hw)
+        else:
+            mask = None
+        im1, im2 = ims
+
+        # Photometric augmentation feeds the network only; the loss sees
+        # the un-jittered pair (reference: core/unsupervised.py).
+        im1_photo, im2_photo = random_photometric(k_photo, [im1, im2])
+        n1 = normalize(im1_photo, mean, stddev)
+        n2 = normalize(im2_photo, mean, stddev)
+
+        def loss_fn(params):
+            variables = {"params": params}
+            stages_fw = model.apply(variables, n1, n2)
+            if t.supervised:
+                total, logs = supervised_loss(stages_fw[-1], gt[0], mask)
+                return total, logs
+            stages_bw = model.apply(variables, n2, n1)
+            stage_ids = (
+                range(len(stages_fw)) if t.train_all else [len(stages_fw) - 1]
+            )
+            total = jnp.zeros((), jnp.float32)
+            logs = {}
+            for si in stage_ids:
+                stage_total, stage_logs = unsupervised_loss(
+                    im1, im2, stages_fw[si], stages_bw[si],
+                    weights=weights,
+                    mask_occlusion=t.mask_occlusion,
+                    border_ratio=t.border_ratio,
+                )
+                total = total + stage_total
+                if len(stage_ids) > 1:
+                    logs.update({f"stage{si}/{k}": v for k, v in stage_logs.items()})
+                else:
+                    logs.update(stage_logs)
+            return total, logs
+
+        (loss, logs), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        logs["loss"] = loss
+        logs["grad_norm"] = optax.global_norm(grads)
+        return TrainState(state.step + 1, params, opt_state), logs
+
+    return train_step
+
+
+class Trainer:
+    """End-to-end trainer over an experiment directory.
+
+    Args:
+      cfg: full config (the experiment-dir snapshot, if resuming).
+      exp_dir: experiment directory (checkpoints + metrics.jsonl).
+      batch_iterator: infinite iterator of host batches
+        {'im1','im2'[,'flow','mask']} float32 [0,1], shaped
+        (global_batch, H>=height, W>=width, C).
+      normalization: (per-channel mean in [0,255], scalar stddev).
+    """
+
+    def __init__(
+        self,
+        cfg: Config,
+        exp_dir: str | Path,
+        batch_iterator: Iterable[dict],
+        normalization=DEFAULT_NORMALIZATION,
+        mesh=None,
+        finetune_dirs: Sequence[str | Path] = (),
+    ):
+        t = cfg.train
+        self.cfg = cfg
+        self.exp_dir = Path(exp_dir)
+        self.batches = iter(batch_iterator)
+        self.model = build_model(cfg)
+        self.mesh = mesh if mesh is not None else create_mesh(
+            t.num_devices or None, spatial=t.spatial_shards
+        )
+        self.rng = jax.random.PRNGKey(t.seed)
+
+        sample = jnp.zeros((1, t.height, t.width, 3), jnp.float32)
+        with jax.default_device(jax.devices()[0]):
+            variables = jax.jit(self.model.init)(jax.random.PRNGKey(t.seed), sample, sample)
+        params = variables["params"]
+        if t.finetune or finetune_dirs:
+            dirs = list(finetune_dirs) or [
+                Path(cfg.dirs.log) / "ex" / name for name in t.finetune
+            ]
+            params = init_stages_from(dict(params), dirs)
+
+        self.tx = build_optimizer(cfg, params)
+        opt_state = self.tx.init(params)
+        state = TrainState(jnp.zeros((), jnp.int32), params, opt_state)
+
+        # Replicate state over the mesh; shard batches on the data axis.
+        rep = replicated(self.mesh)
+        self.state = jax.device_put(state, rep)
+        self._batch_sharding = batch_sharding(self.mesh)
+
+        self.ckpt = CheckpointManager(self.exp_dir)
+        latest = self.ckpt.latest_step()
+        if latest is not None:
+            restored = self.ckpt.restore(jax.tree_util.tree_map(lambda x: x, state))
+            self.state = jax.device_put(restored, rep)
+
+        step_fn = make_train_step(self.model, self.tx, cfg, normalization)
+        self._step = jax.jit(step_fn, donate_argnums=(0,))
+        self.logger = MetricsLogger(self.exp_dir)
+
+    @property
+    def step(self) -> int:
+        return int(self.state.step)
+
+    def _put_batch(self, batch: dict) -> dict:
+        return {
+            k: jax.device_put(v, self._batch_sharding) for k, v in batch.items()
+        }
+
+    def run(self, max_iters: int | None = None) -> dict:
+        """Train until cfg.train.num_iters (or max_iters), checkpointing.
+
+        Restart-safe: rerunning resumes from the latest checkpoint
+        (reference semantics: rerun run.py --ex <name>).
+        """
+        t = self.cfg.train
+        target = min(max_iters or t.num_iters, t.num_iters)
+        logs = {}
+        pairs_accum, t_last = 0, time.perf_counter()
+        while self.step < target:
+            batch = self._put_batch(next(self.batches))
+            self.state, logs = self._step(self.state, batch, self.rng)
+            step = self.step  # syncs
+            pairs_accum += batch["im1"].shape[0]
+            if step % t.display_interval == 0:
+                now = time.perf_counter()
+                throughput = pairs_accum / max(now - t_last, 1e-9)
+                pairs_accum, t_last = 0, now
+                self.logger.log(
+                    step,
+                    {**{k: v for k, v in logs.items()},
+                     "pairs_per_sec": throughput},
+                )
+            if step % t.save_interval == 0 or step >= target:
+                self.ckpt.save(step, jax.device_get(self.state))
+        self.ckpt.save(self.step, jax.device_get(self.state), wait=True)
+        return {k: float(v) for k, v in logs.items()}
