@@ -79,13 +79,16 @@ def compute_losses(
     ``mask_occlusion``: 'fb' (forward-backward consistency, the paper
     default), 'disocc' (forward-warp density), or '' (no masking).
     """
-    im2_warped = backward_warp(im2, flow_fw)
-    im1_warped = backward_warp(im1, flow_bw)
+    # One gather per direction: the image and the opposite-direction flow
+    # are warped by the same flow field, so concatenate channels (XLA TPU
+    # gathers pay per launch; 2 launches instead of 4 per scale).
+    warped_fw = backward_warp(jnp.concatenate([im2, flow_bw], -1), flow_fw)
+    warped_bw = backward_warp(jnp.concatenate([im1, flow_fw], -1), flow_bw)
+    c = im1.shape[-1]
+    im2_warped, flow_bw_warped = warped_fw[..., :c], warped_fw[..., c:]
+    im1_warped, flow_fw_warped = warped_bw[..., :c], warped_bw[..., c:]
     im_diff_fw = im1 - im2_warped
     im_diff_bw = im2 - im1_warped
-
-    flow_bw_warped = backward_warp(flow_bw, flow_fw)
-    flow_fw_warped = backward_warp(flow_fw, flow_bw)
     flow_diff_fw = flow_fw + flow_bw_warped
     flow_diff_bw = flow_bw + flow_fw_warped
 
