@@ -12,6 +12,7 @@ Reference formats (SURVEY.md §2.2 P10/P11/P15):
 
 from __future__ import annotations
 
+import os
 import struct
 from pathlib import Path
 
@@ -21,9 +22,34 @@ from PIL import Image
 FLO_TAG = 202021.25
 
 
+def _native():
+    """The C++ decode sidecar, opt-in via UNFLOW_NATIVE=1.
+
+    Measured on this host: PIL's C PNG decoder is faster for 8-bit
+    images and the numpy codec ties for 16-bit, so the sidecar is not
+    the default decode path. It exists for parity with the reference's
+    native input layer and for embedding without Python imaging deps
+    (C ABI, GIL-free batch decode).
+    """
+    if os.environ.get("UNFLOW_NATIVE", "0") != "1":
+        return None
+    from unflow_tpu.data import native
+
+    return native if native.available() else None
+
+
 def read_image(path: str | Path) -> np.ndarray:
-    """Decode an image to float32 RGB in [0, 1], (H, W, 3)."""
-    with Image.open(path) as img:
+    """Decode an image to float32 RGB in [0, 1], (H, W, 3).
+
+    PNGs go through the native C++ decoder when available (bit-identical
+    to the PIL path, parallel-friendly); other formats (ppm, jpg) use PIL.
+    """
+    p = str(path)
+    if p.endswith(".png"):
+        native = _native()
+        if native is not None:
+            return native.decode_rgb(p)
+    with Image.open(p) as img:
         arr = np.asarray(img.convert("RGB"), np.float32) / 255.0
     return arr
 
@@ -57,9 +83,13 @@ def write_flo(path: str | Path, flow: np.ndarray) -> None:
 def read_kitti_png_flow(path: str | Path) -> tuple[np.ndarray, np.ndarray]:
     """KITTI 16-bit PNG -> ((H, W, 2) flow, (H, W, 1) valid mask).
 
-    Pillow truncates 16-bit RGB PNGs to 8 bits, so this uses our own
-    codec (:mod:`unflow_tpu.data.png16`).
+    Pillow truncates 16-bit RGB PNGs to 8 bits, so this uses the native
+    C++ decoder when available, else our own codec
+    (:mod:`unflow_tpu.data.png16`).
     """
+    native = _native()
+    if native is not None:
+        return native.decode_kitti_flow(str(path))
     from unflow_tpu.data.png16 import read_png16
 
     arr = read_png16(path)
