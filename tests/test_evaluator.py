@@ -1,0 +1,57 @@
+"""End-to-end Evaluator test: train -> checkpoint -> restore -> metrics."""
+
+import numpy as np
+
+from unflow_tpu.config import Config
+from unflow_tpu.data.base import Example
+from unflow_tpu.data.io import write_image, write_flo
+from unflow_tpu.data.synthetic import batch_iterator
+from unflow_tpu.eval import Evaluator
+from unflow_tpu.parallel import create_mesh
+from unflow_tpu.train import Trainer
+
+H, W = 64, 128
+
+
+def test_evaluator_end_to_end(tmp_path, rng):
+    cfg = Config()
+    cfg.dirs.log = str(tmp_path / "log")
+    t = cfg.train
+    t.flownet = "S"
+    t.batch_size = 2
+    t.height, t.width = H, W
+    t.num_iters = 1
+    t.save_interval = 1
+    t.compute_dtype = "float32"
+    t.corr_impl = "jnp"
+
+    ex_dir = tmp_path / "ex"
+    trainer = Trainer(cfg, ex_dir, batch_iterator(2, H, W, seed=0), mesh=create_mesh(1))
+    trainer.run()
+    trainer.ckpt.close()
+
+    # Fabricate an eval example with GT at a non-/64 size (tests padding).
+    im1 = rng.rand(50, 70, 3).astype(np.float32)
+    im2 = rng.rand(50, 70, 3).astype(np.float32)
+    gt = rng.randn(50, 70, 2).astype(np.float32)
+    write_image(tmp_path / "a.png", im1)
+    write_image(tmp_path / "b.png", im2)
+    write_flo(tmp_path / "gt.flo", gt)
+    examples = [
+        Example(
+            im1=str(tmp_path / "a.png"), im2=str(tmp_path / "b.png"),
+            flow=str(tmp_path / "gt.flo"), meta={"id": "000000"},
+        )
+    ]
+
+    evaluator = Evaluator(cfg, ex_dir)
+    metrics = evaluator.run(examples, output_dir=tmp_path / "dump", output_format="viz")
+    assert metrics["n"] == 1
+    assert np.isfinite(metrics["aee"]) and metrics["aee"] >= 0
+    assert 0.0 <= metrics["fl"] <= 1.0
+    assert (tmp_path / "dump" / "000000_flow.png").exists()
+    assert (tmp_path / "dump" / "000000_err.png").exists()
+
+    # predict() crops the /64 padding back off
+    flow = evaluator.predict(im1, im2)
+    assert flow.shape == (50, 70, 2)

@@ -47,6 +47,64 @@ def build_batches_and_norm(cfg: Config):
     return iter(loader), dataset.normalization
 
 
+def build_eval_fn(cfg: Config, normalization):
+    """Periodic held-out AEE during training (reference: in-training eval
+    summaries, core/train.py). Synthetic data evaluates against its own
+    known GT; real datasets use their eval split when one exists."""
+    t = cfg.train
+    if not t.eval_interval:
+        return None
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from unflow_tpu.augment import normalize
+    from unflow_tpu.data.base import load_example
+    from unflow_tpu.eval.metrics import flow_error_avg
+    from unflow_tpu.models import full_res_flow
+    from unflow_tpu.train import build_model
+
+    model = build_model(cfg)
+    mean, std = normalization
+
+    if t.dataset == "synthetic":
+        from unflow_tpu.data.synthetic import batch_iterator
+
+        batch = next(
+            batch_iterator(4, t.height, t.width, seed=t.seed + 999, supervised=True)
+        )
+        ims = (jnp.asarray(batch["im1"]), jnp.asarray(batch["im2"]))
+        gt = jnp.asarray(batch["flow"])
+        mask = jnp.asarray(batch["mask"])
+    else:
+        try:
+            dataset = get_dataset(t.dataset, cfg.dirs.data)
+            examples = dataset.eval_examples()[:4]
+        except (ValueError, FileNotFoundError):
+            return None
+        items = [
+            load_example(ex, (t.height, t.width), supervised=True) for ex in examples
+        ]
+        ims = (
+            jnp.asarray(np.stack([it["im1"] for it in items])),
+            jnp.asarray(np.stack([it["im2"] for it in items])),
+        )
+        gt = jnp.asarray(np.stack([it["flow"] for it in items]))
+        mask = jnp.asarray(np.stack([it["mask"] for it in items]))
+
+    @jax.jit
+    def _eval(params):
+        stages = model.apply(
+            {"params": params},
+            normalize(ims[0], mean, std),
+            normalize(ims[1], mean, std),
+        )
+        flow = full_res_flow(stages[-1], t.height, t.width)
+        return flow_error_avg(flow, gt, mask)
+
+    return lambda params: {"aee": float(_eval(params))}
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--config", default=None, help="config.ini path")
@@ -76,7 +134,10 @@ def main(argv=None) -> int:
         cfg = load_config(snapshot)
 
     batches, norm = build_batches_and_norm(cfg)
-    trainer = Trainer(cfg, ex_dir, batches, normalization=norm)
+    trainer = Trainer(
+        cfg, ex_dir, batches, normalization=norm,
+        eval_fn=build_eval_fn(cfg, norm),
+    )
     print(f"experiment {args.ex}: step {trainer.step} -> {cfg.train.num_iters}")
     logs = trainer.run()
     if "loss" in logs:

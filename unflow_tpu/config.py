@@ -31,6 +31,7 @@ class TrainConfig:
     weight_decay: float = 0.0
     save_interval: int = 5_000
     display_interval: int = 100
+    eval_interval: int = 0  # 0 = no in-training eval
     # loss-term weights (reference config keys like ternary_weight)
     occ_weight: float = 12.4
     sym_weight: float = 0.0

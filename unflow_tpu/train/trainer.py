@@ -159,6 +159,7 @@ class Trainer:
         normalization=DEFAULT_NORMALIZATION,
         mesh=None,
         finetune_dirs: Sequence[str | Path] = (),
+        eval_fn: Callable | None = None,
     ):
         t = cfg.train
         self.cfg = cfg
@@ -184,10 +185,14 @@ class Trainer:
         opt_state = self.tx.init(params)
         state = TrainState(jnp.zeros((), jnp.int32), params, opt_state)
 
-        # Replicate state over the mesh; shard batches on the data axis.
+        # Replicate state over the mesh; shard batches on the data axis
+        # (and W over the spatial axis when spatial sharding is on — XLA
+        # inserts the conv halo exchanges).
         rep = replicated(self.mesh)
         self.state = jax.device_put(state, rep)
-        self._batch_sharding = batch_sharding(self.mesh)
+        self._batch_sharding = batch_sharding(
+            self.mesh, spatial_axis=2 if t.spatial_shards > 1 else None
+        )
 
         self.ckpt = CheckpointManager(self.exp_dir)
         latest = self.ckpt.latest_step()
@@ -198,6 +203,9 @@ class Trainer:
         step_fn = make_train_step(self.model, self.tx, cfg, normalization)
         self._step = jax.jit(step_fn, donate_argnums=(0,))
         self.logger = MetricsLogger(self.exp_dir)
+        # Periodic in-training evaluation on a held-out split (reference:
+        # core/train.py eval summaries). eval_fn(params) -> {name: value}.
+        self.eval_fn = eval_fn
 
     @property
     def step(self) -> int:
@@ -232,6 +240,9 @@ class Trainer:
                     {**{k: v for k, v in logs.items()},
                      "pairs_per_sec": throughput},
                 )
+            if self.eval_fn is not None and t.eval_interval and step % t.eval_interval == 0:
+                metrics = self.eval_fn(self.state.params)
+                self.logger.log(step, {f"eval/{k}": v for k, v in metrics.items()})
             if step % t.save_interval == 0 or step >= target:
                 self.ckpt.save(step, jax.device_get(self.state))
         self.ckpt.save(self.step, jax.device_get(self.state), wait=True)
