@@ -67,10 +67,10 @@ def _row_tile(h: int) -> tuple[int, int]:
     return 8, _round_up(h, 8)
 
 
-def _split_channels(x: jax.Array):
-    """Pad C to a sublane multiple and split into <=128-channel chunks."""
+def _split_channels(x: jax.Array, max_chunk: int = _MAX_CHUNK):
+    """Pad C to a sublane multiple and split into <=max_chunk chunks."""
     c = x.shape[-1]
-    ck = min(_MAX_CHUNK, _round_up(c, 8))
+    ck = min(max_chunk, _round_up(c, 8))
     cp = _round_up(c, ck)
     if cp != c:
         x = jnp.pad(x, ((0, 0),) * (x.ndim - 1) + ((0, cp - c),))
@@ -141,6 +141,11 @@ def _corr_fwd_chunk(f1: jax.Array, f2: jax.Array, P: int, s: int, inv_c: float):
     return out[:, :, :h, :]  # (B, D*D, H, W)
 
 
+def _mxu_chunk(dtype) -> int:
+    # bf16 windows are half the bytes -> a full 256-channel pass fits VMEM.
+    return 256 if dtype == jnp.bfloat16 else 128
+
+
 def _corr_fwd_impl(f1: jax.Array, f2: jax.Array, P: int, s: int) -> jax.Array:
     if P % s != 0:
         raise ValueError(f"max_displacement ({P}) must be divisible by stride ({s})")
@@ -148,6 +153,21 @@ def _corr_fwd_impl(f1: jax.Array, f2: jax.Array, P: int, s: int) -> jax.Array:
         raise ValueError(f"f1/f2 shape mismatch: {f1.shape} vs {f2.shape}")
     in_dtype = f1.dtype
     inv_c = 1.0 / f1.shape[-1]
+
+    from unflow_tpu.ops.pallas import correlation_mxu as mxu
+
+    _, h, w, _ = f1.shape
+    # MXU path for bf16 only: f32 would need 3-pass (Precision.HIGHEST)
+    # matmuls whose VMEM stack overflows; the VPU kernels keep f32 exact.
+    if in_dtype == jnp.bfloat16 and mxu.supported(h, w, P, s):
+        chunk = _mxu_chunk(in_dtype)
+        chunks1 = _split_channels(f1, chunk)
+        chunks2 = _split_channels(f2, chunk)
+        out = mxu.corr_fwd_mxu(chunks1[0], chunks2[0], P, s, inv_c)
+        for a, b2 in zip(chunks1[1:], chunks2[1:]):
+            out = out + mxu.corr_fwd_mxu(a, b2, P, s, inv_c)
+        return out.astype(in_dtype)
+
     chunks1, chunks2 = _split_channels(f1), _split_channels(f2)
     out = _corr_fwd_chunk(chunks1[0], chunks2[0], P, s, inv_c)
     for a, b2 in zip(chunks1[1:], chunks2[1:]):
@@ -214,6 +234,17 @@ def _corr_bwd_f1_impl(g: jax.Array, f2: jax.Array, P: int, s: int) -> jax.Array:
     b, h, w, c = f2.shape
     in_dtype = f2.dtype
     inv_c = 1.0 / c
+
+    from unflow_tpu.ops.pallas import correlation_mxu as mxu
+
+    if in_dtype == jnp.bfloat16 and mxu.supported(h, w, P, s):
+        chunk = _mxu_chunk(in_dtype)
+        parts = [
+            mxu.corr_bwd_f1_mxu(g, f2c, P, s, inv_c)
+            for f2c in _split_channels(f2, chunk)
+        ]
+        return jnp.concatenate(parts, axis=-1)[..., :c].astype(in_dtype)
+
     _, hp = _row_tile(h)
     # g stays f32: bf16 (th, 1, w) broadcasts hit an unsupported Mosaic
     # shape cast; the bandwidth win lives in the f2/f1 windows anyway.
@@ -309,6 +340,11 @@ def _corr_bwd_f2_impl(g: jax.Array, f1: jax.Array, P: int, s: int) -> jax.Array:
     b, h, w, c = f1.shape
     d = 2 * (P // s) + 1
     in_dtype = f1.dtype
+
+    # NOTE: an MXU df2 exists (correlation_mxu.corr_bwd_f2_mxu) but its
+    # band construction needs in-place scratch rolls to bound the Mosaic
+    # VMEM stack, which serialize to 2x the VPU kernel's time — the VPU
+    # path stays the default until the band build is restructured.
     p2 = 2 * P
     _, h2p = _row_tile(h + 2 * P)
     ww = _round_up(w + 4 * P, 128)

@@ -1,0 +1,362 @@
+"""MXU (systolic-array) formulation of the correlation cost volume.
+
+The VPU kernels in :mod:`unflow_tpu.ops.pallas.correlation` compute the
+441 displacement channels as shifted multiply-reduces — inherently
+vector-unit work. This module reformulates the op so the contraction
+runs on the MXU:
+
+  * **Phase decomposition.** With displacement stride ``s``, column
+    ``x = s*k + p`` only ever correlates against columns of the same
+    phase ``p``; rows likewise split into ``s`` row-parity planes. The
+    op factors into ``s^2``-fewer-overlap banded products per phase.
+  * **Banded matmul.** For one output row and phase, stacking all dy
+    rows of the (pre-padded, phase-split) second feature map gives
+    ``B2 = (D * W2p, C)``; a single MXU matmul
+    ``A (Wp, C) @ B2^T -> M (Wp, D*W2p)`` computes every (dy, dx)
+    product sum — the needed outputs are the diagonals
+    ``M[k, dy*W2p + k + dx]``.
+  * **Barrel-shift band extraction.** Rolling row ``k`` of ``M`` left
+    by ``k`` lanes aligns all diagonals at fixed offsets; a variable
+    per-row roll is 7 masked constant rolls (barrel shifter over the
+    bits of ``k``). The flat layout guarantees no wraparound touches a
+    needed position (``Wp + D - 2 < W2p``).
+  * The f1 gradient is the same machinery inverted: scatter the
+    cotangent into the flat band (21 static stores), barrel-roll
+    *right* by ``k``, then one ``(Wp, D*W2p) @ (D*W2p, C)`` matmul.
+
+Measured (B=4, 40x144, C=256, bf16): forward 8.0 -> 4.9 ms vs the VPU
+kernel; numerics match the jnp reference to f32-reassociation noise.
+
+The f2 gradient currently stays on the VPU path (see correlation.py);
+its MXU variant needs per-output-row K-stacked band transposes and is
+left as a follow-up.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_INTERPRET = jax.default_backend() != "tpu"
+
+
+def _matmul_precision(dtype):
+    # f32 operands need the 3-pass decomposition; the MXU's default
+    # single pass is bf16-accurate only (observed 2e-3 rel error).
+    return lax.Precision.HIGHEST if dtype == jnp.float32 else lax.Precision.DEFAULT
+
+
+def _round_up(n: int, m: int) -> int:
+    return -(-n // m) * m
+
+
+def _stage_dtype(x: jax.Array):
+    return x.dtype if x.dtype == jnp.bfloat16 else jnp.float32
+
+
+def _dims(h: int, w: int, P: int, s: int):
+    d = 2 * (P // s) + 1
+    wp = -(-w // s)  # phase width
+    w2 = wp + d - 1  # band width per phase
+    w2p = _round_up(w2, 8)
+    th = 8 if h % 8 == 0 and h >= 8 else h
+    hp = _round_up(h, th)
+    if (th + 2 * P) % s or (hp + 2 * P) % s or th % s:
+        raise ValueError(f"unsupported geometry h={h} P={P} s={s}")
+    return d, wp, w2, w2p, th, hp
+
+
+def supported(h: int, w: int, P: int, s: int) -> bool:
+    try:
+        _dims(h, w, P, s)
+    except ValueError:
+        return False
+    return s in (1, 2)
+
+
+def _phase_split_cols(x: jax.Array, s: int, wp: int) -> jax.Array:
+    """(B, R, W', C) -> (B, R, s, Wp, C): column x = s*k + p -> [p, k]."""
+    b, r, wpad, c = x.shape
+    if wpad != s * wp:
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, s * wp - wpad), (0, 0)))
+    return jnp.transpose(x.reshape(b, r, wp, s, c), (0, 1, 3, 2, 4))
+
+
+def _row_parity_split(x: jax.Array, s: int) -> jax.Array:
+    """(B, R, ...) -> (B, s, R//s, ...): row v = s*r + q -> [q, r]."""
+    b, r = x.shape[:2]
+    rest = x.shape[2:]
+    x = x.reshape(b, r // s, s, *rest)
+    perm = (0, 2, 1) + tuple(range(3, x.ndim))
+    return jnp.transpose(x, perm)
+
+
+def _prep_f2(f2: jax.Array, P: int, s: int, hp: int, wp: int, w2p: int) -> jax.Array:
+    """(B, H, W, C) -> (B, s, (hp+2P)/s, s, W2p, C) padded + phase/parity split."""
+    b, h, w, c = f2.shape
+    f2 = f2.astype(_stage_dtype(f2))
+    f2 = jnp.pad(f2, ((0, 0), (P, P + hp - h), (P, s * wp - w + P), (0, 0)))
+    f2 = _phase_split_cols(f2, s, wp + (2 * P) // s)  # width s*w2 = s*wp + 2P
+    w2 = wp + (2 * P) // s
+    if w2p != w2:
+        f2 = jnp.pad(f2, ((0, 0), (0, 0), (0, 0), (0, w2p - w2), (0, 0)))
+    return _row_parity_split(f2, s)
+
+
+def _prep_phase(x: jax.Array, s: int, hp: int, wp: int) -> jax.Array:
+    """(B, H, W, Cx) -> (B, hp, s, Wp, Cx) (rows padded, cols phase-split)."""
+    b, h, w, cx = x.shape
+    x = jnp.pad(x, ((0, 0), (0, hp - h), (0, 0), (0, 0)))
+    return _phase_split_cols(x, s, wp)
+
+
+def _merge_phase(x: jax.Array, h: int, w: int):
+    """(B, hp, s, Wp, Cx) -> (B, h, w, Cx)."""
+    b, hp, s, wp, cx = x.shape
+    out = jnp.transpose(x, (0, 1, 3, 2, 4)).reshape(b, hp, s * wp, cx)
+    return out[:, :h, :w]
+
+
+# ---------------------------------------------------------------------------
+# Forward
+# ---------------------------------------------------------------------------
+
+
+def corr_fwd_mxu(
+    f1: jax.Array, f2: jax.Array, P: int, s: int, inv_c: float | None = None
+) -> jax.Array:
+    b, h, w, c = f1.shape
+    d, wp, w2, w2p, th, hp = _dims(h, w, P, s)
+    n2 = d * w2p
+    whp = (th + 2 * P) // s  # window rows per parity plane
+    nbits = max(1, (wp - 1).bit_length())
+    inv_c = (1.0 / c) if inv_c is None else inv_c
+    in_dtype = f1.dtype
+
+    f1s = _prep_phase(f1.astype(_stage_dtype(f1)), s, hp, wp)
+    f2s = _prep_f2(f2, P, s, hp, wp, w2p)
+
+    def kernel(f1_ref, f2p_ref, out_ref, f2w, sem):
+        bi, i = pl.program_id(0), pl.program_id(1)
+        cp = pltpu.make_async_copy(
+            f2p_ref.at[bi, :, pl.ds(i * (th // s), whp), :, :, :], f2w, sem
+        )
+        cp.start()
+        cp.wait()
+        kidx = lax.broadcasted_iota(jnp.int32, (wp, n2), 0)
+        for t in range(th):
+            par, r0 = t % s, t // s
+            for p in range(s):
+                a = f1_ref[0, t, p]  # (Wp, C)
+                b2 = f2w[par, r0 : r0 + d, p].reshape(n2, c)
+                m = lax.dot_general(
+                    a, b2, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=_matmul_precision(a.dtype),
+                )  # (Wp, N2)
+                r = m
+                for bit in range(nbits):
+                    rolled = pltpu.roll(r, n2 - (1 << bit), axis=1)
+                    r = jnp.where(((kidx >> bit) & 1) == 1, rolled, r)
+                for dyi in range(d):
+                    out_ref[0, t, p, :, dyi * d : (dyi + 1) * d] = (
+                        r[:, dyi * w2p : dyi * w2p + d] * inv_c
+                    )
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(b, hp // th),
+        in_specs=[
+            pl.BlockSpec((1, th, s, wp, c), lambda bi, i: (bi, i, 0, 0, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((1, th, s, wp, d * d), lambda bi, i: (bi, i, 0, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, hp, s, wp, d * d), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((s, whp, s, w2p, c), f2s.dtype),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        interpret=_INTERPRET,
+    )(f1s, f2s)
+
+    return _merge_phase(out, h, w).astype(in_dtype)
+
+
+# ---------------------------------------------------------------------------
+# Gradient w.r.t. f1
+# ---------------------------------------------------------------------------
+
+
+def corr_bwd_f1_mxu(
+    g: jax.Array, f2: jax.Array, P: int, s: int, inv_c: float | None = None
+) -> jax.Array:
+    b, h, w, c = f2.shape
+    d, wp, w2, w2p, th, hp = _dims(h, w, P, s)
+    n2 = d * w2p
+    whp = (th + 2 * P) // s
+    nbits = max(1, (wp - 1).bit_length())
+    inv_c = (1.0 / c) if inv_c is None else inv_c
+    in_dtype = f2.dtype
+
+    gs = _prep_phase(g.astype(jnp.float32), s, hp, wp)  # (B, hp, s, Wp, D*D)
+    f2s = _prep_f2(f2, P, s, hp, wp, w2p)
+
+    def kernel(g_ref, f2p_ref, out_ref, f2w, z, sem):
+        bi, i = pl.program_id(0), pl.program_id(1)
+        cp = pltpu.make_async_copy(
+            f2p_ref.at[bi, :, pl.ds(i * (th // s), whp), :, :, :], f2w, sem
+        )
+        cp.start()
+        cp.wait()
+        kidx = lax.broadcasted_iota(jnp.int32, (wp, n2), 0)
+        for t in range(th):
+            par, r0 = t % s, t // s
+            for p in range(s):
+                # Scatter the cotangent into the flat band layout...
+                z[:] = jnp.zeros_like(z)
+                for dyi in range(d):
+                    z[:, dyi * w2p : dyi * w2p + d] = g_ref[
+                        0, t, p, :, dyi * d : (dyi + 1) * d
+                    ]
+                # ...then align per-row offsets: roll RIGHT by k.
+                g2 = z[:]
+                for bit in range(nbits):
+                    rolled = pltpu.roll(g2, 1 << bit, axis=1)
+                    g2 = jnp.where(((kidx >> bit) & 1) == 1, rolled, g2)
+                b2 = f2w[par, r0 : r0 + d, p].reshape(n2, c)
+                # Cast the small cotangent band to the window dtype: a
+                # per-iteration f32 upcast of b2 (2016 x C) blows the
+                # Mosaic VMEM stack; bf16 cotangents are standard in
+                # bf16 training (grads accumulate f32 in the matmul).
+                df1 = lax.dot_general(
+                    g2.astype(b2.dtype), b2, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=_matmul_precision(b2.dtype),
+                )  # (Wp, C)
+                out_ref[0, t, p] = df1 * inv_c
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(b, hp // th),
+        in_specs=[
+            pl.BlockSpec((1, th, s, wp, d * d), lambda bi, i: (bi, i, 0, 0, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((1, th, s, wp, c), lambda bi, i: (bi, i, 0, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, hp, s, wp, c), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((s, whp, s, w2p, c), f2s.dtype),
+            pltpu.VMEM((wp, n2), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        interpret=_INTERPRET,
+    )(gs, f2s)
+
+    return _merge_phase(out, h, w).astype(in_dtype)
+
+
+# ---------------------------------------------------------------------------
+# Gradient w.r.t. f2
+# ---------------------------------------------------------------------------
+
+
+def corr_bwd_f2_mxu(
+    g: jax.Array, f1: jax.Array, P: int, s: int, inv_c: float | None = None
+) -> jax.Array:
+    """d f2[v,u,c] = (1/C) sum_{dy,dx} g[v-s*dy, u-s*dx] * f1[v-s*dy, u-s*dx, c].
+
+    Output-stationary over the padded (h+2P) row extent. Per output row
+    and phase, all dy contributions stack into the contraction axis:
+    ``df2_row = BStack^T @ F1Stack`` with ``K = D*Wp``, where each
+    ``BStack[dy]`` is the cotangent band (21 static stores + barrel-roll
+    right by k) and ``F1Stack`` is a contiguous window slice — the row
+    arithmetic collapses to plane rows ``[t//s, t//s + D)`` because
+    ``2P/s = D - 1``. One MXU matmul per (row, phase).
+    """
+    b, h, w, c = f1.shape
+    d, wp, w2, w2p, th, hp = _dims(h, w, P, s)
+    nbits = max(1, (wp - 1).bit_length())
+    inv_c = (1.0 / c) if inv_c is None else inv_c
+    in_dtype = f1.dtype
+    h2 = hp + 2 * P  # padded output rows
+    whp = (th + 2 * P) // s  # window rows per parity plane
+    dd = d * d
+
+    stage = _stage_dtype(f1)
+    # Manual-DMA lane extents must be 128-multiples: pad the cotangent's
+    # displacement channels (441 -> 512) and require C % 128 == 0 (the
+    # dispatcher chunks to 128/256).
+    ddp = _round_up(dd, 128)
+    g = jnp.pad(g, ((0, 0), (0, 0), (0, 0), (0, ddp - dd)))
+
+    # g, f1: rows padded 2P before/after, phase-split cols, row-parity split.
+    def prep(x):
+        x = jnp.pad(x, ((0, 0), (2 * P, 2 * P + hp - h), (0, 0), (0, 0)))
+        x = _phase_split_cols(x, s, wp)  # (B, hp+4P, s, Wp, cx)
+        return _row_parity_split(x, s)
+
+    gs = prep(g.astype(stage))
+    f1s = prep(f1.astype(stage))
+
+    def kernel(gp_ref, f1p_ref, out_ref, gwin, f1w, bs, z2, sems):
+        bi, i = pl.program_id(0), pl.program_id(1)
+        cp0 = pltpu.make_async_copy(
+            gp_ref.at[bi, :, pl.ds(i * (th // s), whp), :, :, :], gwin, sems.at[0]
+        )
+        cp1 = pltpu.make_async_copy(
+            f1p_ref.at[bi, :, pl.ds(i * (th // s), whp), :, :, :], f1w, sems.at[1]
+        )
+        cp0.start()
+        cp1.start()
+        cp0.wait()
+        cp1.wait()
+        kidx = lax.broadcasted_iota(jnp.int32, (wp, w2p), 0)
+        for t in range(th):
+            par, base = t % s, t // s
+            for p in range(s):
+                for dyp in range(d):  # ascending window rows; dy = d-1-dyp
+                    dy = d - 1 - dyp
+                    grow = gwin[par, base + dyp, p]  # (Wp, D*D)
+                    z2[:] = jnp.zeros_like(z2)
+                    z2[:, :d] = grow[:, dy * d : (dy + 1) * d].astype(jnp.float32)
+                    # In-place ref rolls: value chains here unroll 16*21*7
+                    # times and overflow the Mosaic VMEM stack.
+                    for bit in range(nbits):
+                        rolled = pltpu.roll(z2[:], 1 << bit, axis=1)
+                        z2[:] = jnp.where(((kidx >> bit) & 1) == 1, rolled, z2[:])
+                    bs[dyp] = z2[:].astype(bs.dtype)
+                f1stack = f1w[par, base : base + d, p].reshape(d * wp, c)
+                bs2 = bs[:].reshape(d * wp, w2p)
+                df2 = lax.dot_general(
+                    bs2, f1stack, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=_matmul_precision(bs.dtype),
+                )  # (W2p, C)
+                out_ref[0, t, p] = df2 * inv_c
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(b, h2 // th),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((1, th, s, w2p, c), lambda bi, i: (bi, i, 0, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, h2, s, w2p, c), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((s, whp, s, wp, ddp), stage),
+            pltpu.VMEM((s, whp, s, wp, c), stage),
+            pltpu.VMEM((d, wp, w2p), stage),
+            pltpu.VMEM((wp, w2p), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=_INTERPRET,
+    )(gs, f1s)
+
+    # Crop rows [P, P+h); cols: global u = s*j + p in [P, P+w) -> j from P//s.
+    j0 = P // s
+    out = out[:, P : P + h, :, j0 : j0 + wp, :]
+    return _merge_phase(out, h, w).astype(in_dtype)
