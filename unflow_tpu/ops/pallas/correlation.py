@@ -341,10 +341,12 @@ def _corr_bwd_f2_impl(g: jax.Array, f1: jax.Array, P: int, s: int) -> jax.Array:
     d = 2 * (P // s) + 1
     in_dtype = f1.dtype
 
-    # NOTE: an MXU df2 exists (correlation_mxu.corr_bwd_f2_mxu) but its
-    # band construction needs in-place scratch rolls to bound the Mosaic
-    # VMEM stack, which serialize to 2x the VPU kernel's time — the VPU
-    # path stays the default until the band build is restructured.
+    # NOTE: correlation_mxu.corr_bwd_f2_mxu is numerically validated
+    # (interpreter) but still overflows the 16 MB Mosaic VMEM budget on
+    # hardware by ~2 MB (the 512-lane cotangent window + roll-chain
+    # stack); the VPU kernel below stays the default. Round-2 follow-up:
+    # per-(t,p) cotangent DMA with double buffering instead of a full
+    # stripe window.
     p2 = 2 * P
     _, h2p = _row_tile(h + 2 * P)
     ww = _round_up(w + 4 * P, 128)

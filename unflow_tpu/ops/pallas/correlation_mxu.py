@@ -301,41 +301,60 @@ def corr_bwd_f2_mxu(
     gs = prep(g.astype(stage))
     f1s = prep(f1.astype(stage))
 
-    def kernel(gp_ref, f1p_ref, out_ref, gwin, f1w, bs, z2, sems):
+    half = -(-d // 2)
+    # The fixed-size (half) chunk slice of the f1 window can overrun the
+    # real rows by (2*half - d) on the last output row; pad the scratch
+    # and zero it so the overrun rows multiply zero bands harmlessly.
+    f1rows = max(whp, (th // s - 1) + 2 * half)
+
+    def kernel(gp_ref, f1p_ref, out_ref, gwin, f1w, z3, sems):
         bi, i = pl.program_id(0), pl.program_id(1)
+        if f1rows != whp:
+            f1w[:] = jnp.zeros_like(f1w)
         cp0 = pltpu.make_async_copy(
             gp_ref.at[bi, :, pl.ds(i * (th // s), whp), :, :, :], gwin, sems.at[0]
         )
         cp1 = pltpu.make_async_copy(
-            f1p_ref.at[bi, :, pl.ds(i * (th // s), whp), :, :, :], f1w, sems.at[1]
+            f1p_ref.at[bi, :, pl.ds(i * (th // s), whp), :, :, :],
+            f1w.at[:, pl.ds(0, whp)],
+            sems.at[1],
         )
         cp0.start()
         cp1.start()
         cp0.wait()
         cp1.wait()
-        kidx = lax.broadcasted_iota(jnp.int32, (wp, w2p), 0)
+        kidx = lax.broadcasted_iota(jnp.int32, (half, wp, w2p), 1)
         for t in range(th):
             par, base = t % s, t // s
             for p in range(s):
-                for dyp in range(d):  # ascending window rows; dy = d-1-dyp
-                    dy = d - 1 - dyp
-                    grow = gwin[par, base + dyp, p]  # (Wp, D*D)
-                    z2[:] = jnp.zeros_like(z2)
-                    z2[:, :d] = grow[:, dy * d : (dy + 1) * d].astype(jnp.float32)
-                    # In-place ref rolls: value chains here unroll 16*21*7
-                    # times and overflow the Mosaic VMEM stack.
+                total = jnp.zeros((w2p, c), jnp.float32)
+                for lo in range(0, d, half):
+                    n = min(half, d - lo)
+                    # Batched band: z3[j, k, :D] <- cotangent block of
+                    # window row (base+lo+j), displacement dy = d-1-(lo+j).
+                    z3[:] = jnp.zeros_like(z3)
+                    for j in range(n):
+                        dy = d - 1 - (lo + j)
+                        z3[j, :, :d] = gwin[
+                            par, base + lo + j, p, :, dy * d : (dy + 1) * d
+                        ].astype(jnp.float32)
+                    # One barrel chain per chunk: roll right by k along the
+                    # band axis (no wrap: dx + k <= W2 - 1 < W2p). Rolls
+                    # must be 32-bit (Mosaic: non-32-bit rotate).
+                    zz = z3[:]
                     for bit in range(nbits):
-                        rolled = pltpu.roll(z2[:], 1 << bit, axis=1)
-                        z2[:] = jnp.where(((kidx >> bit) & 1) == 1, rolled, z2[:])
-                    bs[dyp] = z2[:].astype(bs.dtype)
-                f1stack = f1w[par, base : base + d, p].reshape(d * wp, c)
-                bs2 = bs[:].reshape(d * wp, w2p)
-                df2 = lax.dot_general(
-                    bs2, f1stack, (((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                    precision=_matmul_precision(bs.dtype),
-                )  # (W2p, C)
-                out_ref[0, t, p] = df2 * inv_c
+                        rolled = pltpu.roll(zz, 1 << bit, axis=2)
+                        zz = jnp.where(((kidx >> bit) & 1) == 1, rolled, zz)
+                    f1win = f1w[par, base + lo : base + lo + half, p]
+                    # Batched over dy, contract k; sum the dy partials.
+                    prods = lax.dot_general(
+                        zz.astype(f1win.dtype), f1win,
+                        (((1,), (1,)), ((0,), (0,))),
+                        preferred_element_type=jnp.float32,
+                        precision=_matmul_precision(f1win.dtype),
+                    )  # (half, W2p, C); rows past n carry zero bands
+                    total = total + jnp.sum(prods, axis=0)
+                out_ref[0, t, p] = total * inv_c
 
     out = pl.pallas_call(
         kernel,
@@ -348,9 +367,8 @@ def corr_bwd_f2_mxu(
         out_shape=jax.ShapeDtypeStruct((b, h2, s, w2p, c), jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((s, whp, s, wp, ddp), stage),
-            pltpu.VMEM((s, whp, s, wp, c), stage),
-            pltpu.VMEM((d, wp, w2p), stage),
-            pltpu.VMEM((wp, w2p), jnp.float32),
+            pltpu.VMEM((s, f1rows, s, wp, c), stage),
+            pltpu.VMEM((-(-d // 2), wp, w2p), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=_INTERPRET,
