@@ -84,3 +84,41 @@ def test_correlation_dispatcher_jnp(rng):
     f1 = jnp.asarray(rng.randn(1, 8, 8, 4).astype(np.float32))
     out = correlation(f1, f1, max_displacement=4, stride=2, impl="jnp")
     assert out.shape == (1, 8, 8, 25)
+
+
+def test_correlation_pallas_bf16_mxu_path(rng):
+    """bf16 dispatch takes the MXU banded-matmul kernels; parity vs f32."""
+    f1 = jnp.asarray(rng.randn(1, 8, 16, 8).astype(np.float32))
+    f2 = jnp.asarray(rng.randn(1, 8, 16, 8).astype(np.float32))
+    ref = correlation_jnp(f1, f2, 4, 2)
+    got = correlation_pallas(f1.astype(jnp.bfloat16), f2.astype(jnp.bfloat16), 4, 2)
+    scale = float(jnp.max(jnp.abs(ref)))
+    assert float(jnp.max(jnp.abs(ref - got.astype(jnp.float32)))) / scale < 0.02
+
+
+def test_correlation_pallas_bf16_grads(rng):
+    f1 = jnp.asarray(rng.randn(1, 8, 16, 8).astype(np.float32))
+    f2 = jnp.asarray(rng.randn(1, 8, 16, 8).astype(np.float32))
+    g = jnp.asarray(rng.randn(1, 8, 16, 25).astype(np.float32))
+
+    ref = jax.grad(
+        lambda a, b: jnp.sum(correlation_jnp(a, b, 4, 2) * g), argnums=(0, 1)
+    )(f1, f2)
+    got = jax.grad(
+        lambda a, b: jnp.sum(correlation_pallas(a, b, 4, 2).astype(jnp.float32) * g),
+        argnums=(0, 1),
+    )(f1.astype(jnp.bfloat16), f2.astype(jnp.bfloat16))
+    for r, gt_ in zip(ref, got):
+        scale = float(jnp.max(jnp.abs(r)))
+        assert float(jnp.max(jnp.abs(r - gt_.astype(jnp.float32)))) / scale < 0.02
+
+
+def test_correlation_pallas_bf16_stride1(rng):
+    """s=1 exercises the single-phase MXU path."""
+    f1 = jnp.asarray(rng.randn(1, 8, 16, 8).astype(np.float32))
+    ref = correlation_jnp(f1, f1, 3, 1)
+    got = correlation_pallas(
+        f1.astype(jnp.bfloat16), f1.astype(jnp.bfloat16), 3, 1
+    )
+    scale = float(jnp.max(jnp.abs(ref)))
+    assert float(jnp.max(jnp.abs(ref - got.astype(jnp.float32)))) / scale < 0.02
