@@ -1,5 +1,7 @@
 """Data layer tests: format IO roundtrips, dataset enumeration, loader."""
 
+import time
+
 import numpy as np
 import pytest
 
@@ -208,6 +210,47 @@ def test_loader_batches_and_determinism(tmp_path, rng):
     np.testing.assert_array_equal(a[0]["im1"], b[0]["im1"])
     np.testing.assert_array_equal(a[1]["mask"], b[1]["mask"])
     assert not np.array_equal(a[0]["im1"], c[0]["im1"])
+
+
+def test_loader_threaded_order_determinism(tmp_path, rng):
+    """num_threads > 1 parallelizes decode but must not reorder the
+    stream (pre-assigned indices, futures consumed in batch order)."""
+    _make_kitti_2012(tmp_path, rng, n=6)
+    examples = KITTI2012(tmp_path).train_examples()
+
+    def stream(num_threads):
+        loader = Loader(
+            examples, batch_size=2, load_hw=(16, 32), supervised=True,
+            seed=3, num_threads=num_threads,
+        )
+        it = iter(loader)
+        return [next(it) for _ in range(4)]
+
+    serial = stream(1)
+    threaded = stream(4)
+    for a, b in zip(serial, threaded):
+        for key in a:
+            np.testing.assert_array_equal(a[key], b[key])
+
+
+def test_loader_abandoned_iterator_does_not_hang(tmp_path, rng):
+    """The producer must observe the stop event even when blocked on a
+    full queue (timeout-checked put)."""
+    import threading as _threading
+
+    _make_kitti_2012(tmp_path, rng, n=4)
+    examples = KITTI2012(tmp_path).train_examples()
+    loader = Loader(
+        examples, batch_size=1, load_hw=(16, 32), supervised=True, prefetch=1
+    )
+    before = _threading.active_count()
+    it = iter(loader)
+    next(it)
+    it.close()  # abandon with the queue full
+    deadline = time.time() + 10.0
+    while _threading.active_count() > before and time.time() < deadline:
+        time.sleep(0.05)
+    assert _threading.active_count() <= before
 
 
 def test_loader_no_loop(tmp_path, rng):

@@ -122,16 +122,27 @@ def main(argv=None) -> int:
         if key not in _FIELD_TYPES:
             raise SystemExit(f"unknown config key {key!r}")
         setattr(cfg.train, key, _coerce(value, _FIELD_TYPES[key]))
+    ex_dir = cfg.experiment_dir(args.ex)
+    snapshot = ex_dir / "config.ini"
+    if snapshot.exists():
+        # Resume: the snapshot ALWAYS governs (reference src/run.py
+        # semantics — the copied config.ini is reloaded), so a resumed
+        # experiment can never silently train with different
+        # hyperparameters than its first segment.
+        if args.config is not None or args.set:
+            print(
+                f"resuming {args.ex}: snapshot {snapshot} governs; "
+                "ignoring --config/--set overrides"
+            )
+        cfg = load_config(snapshot)
+    else:
+        prepare_experiment_dir(cfg, args.ex)
     if args.debug:
+        # Run-mode clamp only — applied after snapshotting so a --debug
+        # first run doesn't bake tiny iteration counts into the snapshot.
         cfg.train.num_iters = min(cfg.train.num_iters, 10)
         cfg.train.display_interval = 1
         cfg.train.save_interval = 10
-
-    ex_dir = prepare_experiment_dir(cfg, args.ex, args.config)
-    snapshot = ex_dir / "config.ini"
-    if snapshot.exists() and args.config is None:
-        # resume: the snapshot governs (reference src/run.py semantics)
-        cfg = load_config(snapshot)
 
     batches, norm = build_batches_and_norm(cfg)
     trainer = Trainer(

@@ -13,7 +13,6 @@ from __future__ import annotations
 
 import configparser
 import dataclasses
-import shutil
 from pathlib import Path
 
 
@@ -46,6 +45,10 @@ class TrainConfig:
     train_all: bool = False
     supervised: bool = False
     finetune: tuple[str, ...] = ()
+    # Correlation geometry (reference hardcodes 20/2 in flownet_c; exposed
+    # here so tiny dryruns/tests can shrink the cost volume).
+    max_displacement: int = 20
+    corr_stride: int = 2
     # TPU-native knobs (no reference counterpart)
     compute_dtype: str = "bfloat16"  # model tower dtype; losses stay f32
     corr_impl: str = "auto"
@@ -147,19 +150,18 @@ def save_config(cfg: Config, path: str | Path) -> None:
         parser.write(f)
 
 
-def prepare_experiment_dir(cfg: Config, name: str, config_path: str | Path | None = None) -> Path:
+def prepare_experiment_dir(cfg: Config, name: str) -> Path:
     """Create (or reuse) the experiment dir, snapshotting the config.
 
-    On resume, the snapshot wins over the passed config — reference
+    The snapshot is always serialized from the *resolved* ``cfg`` (after
+    CLI ``--set`` overrides), never copied from the raw file, so the
+    hyperparameters the first segment trained with are exactly what a
+    resume reloads. On resume, the existing snapshot wins — reference
     semantics from src/run.py (the copied config.ini governs resumes).
     """
     ex_dir = cfg.experiment_dir(name)
     snapshot = ex_dir / "config.ini"
     ex_dir.mkdir(parents=True, exist_ok=True)
-    if snapshot.exists():
-        return ex_dir
-    if config_path is not None and Path(config_path).exists():
-        shutil.copy(config_path, snapshot)
-    else:
+    if not snapshot.exists():
         save_config(cfg, snapshot)
     return ex_dir

@@ -149,35 +149,75 @@ class Loader:
             np.random.RandomState(self.seed + epoch).shuffle(idx)
         return idx
 
-    def _assemble(self, indices) -> dict:
-        items = [
-            load_example(self.examples[i], self.load_hw, self.supervised)
-            for i in indices
-        ]
-        batch = {k: np.stack([it[k] for it in items]) for k in items[0]}
-        return batch
+    def _batch_indices(self) -> Iterator[np.ndarray]:
+        """Deterministic stream of per-batch example indices."""
+        epoch = 0
+        while True:
+            order = self._epoch_order(epoch)
+            n_full = len(order) // self.batch_size
+            for b in range(n_full):
+                yield order[b * self.batch_size : (b + 1) * self.batch_size]
+            if not self.loop:
+                return
+            epoch += 1
 
     def __iter__(self) -> Iterator[dict]:
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
-        def producer():
-            epoch = 0
+        def safe_put(item) -> bool:
+            """put() that observes the stop event, so an abandoned
+            iterator can never leave the producer blocked forever."""
             while not stop.is_set():
-                order = self._epoch_order(epoch)
-                n_full = len(order) // self.batch_size
-                for b in range(n_full):
-                    if stop.is_set():
-                        return
-                    sel = order[b * self.batch_size : (b + 1) * self.batch_size]
-                    q.put(self._assemble(sel))
-                if not self.loop:
-                    q.put(None)
-                    return
-                epoch += 1
+                try:
+                    q.put(item, timeout=0.2)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
-        # Decode inside the producer keeps ordering deterministic; use a
-        # small pool inside _assemble if decode becomes the bottleneck.
+        def producer():
+            from concurrent.futures import ThreadPoolExecutor
+            import collections
+
+            batches = self._batch_indices()
+            try:
+                with ThreadPoolExecutor(
+                    max_workers=max(1, self.num_threads)
+                ) as pool:
+                    # Futures are submitted AND consumed in batch order:
+                    # thread scheduling parallelizes the decodes but can
+                    # never reorder the stream (resume determinism).
+                    pending: collections.deque = collections.deque()
+                    window = self.prefetch + 1
+                    while not stop.is_set():
+                        while len(pending) < window:
+                            sel = next(batches, None)
+                            if sel is None:
+                                break
+                            pending.append(
+                                [
+                                    pool.submit(
+                                        load_example,
+                                        self.examples[i],
+                                        self.load_hw,
+                                        self.supervised,
+                                    )
+                                    for i in sel
+                                ]
+                            )
+                        if not pending:
+                            safe_put(None)
+                            return
+                        items = [f.result() for f in pending.popleft()]
+                        batch = {
+                            k: np.stack([it[k] for it in items]) for k in items[0]
+                        }
+                        if not safe_put(batch):
+                            return
+            except Exception as e:  # propagate decode errors to the consumer
+                safe_put(e)
+
         thread = threading.Thread(target=producer, daemon=True)
         thread.start()
         try:
@@ -185,6 +225,8 @@ class Loader:
                 batch = q.get()
                 if batch is None:
                     return
+                if isinstance(batch, Exception):
+                    raise batch
                 yield batch
         finally:
             stop.set()

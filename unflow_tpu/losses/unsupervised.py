@@ -72,13 +72,21 @@ def compute_losses(
     border_mask: jax.Array | None = None,
     mask_occlusion: str = "fb",
     data_max_distance: int = 1,
+    weights: dict[str, float] | None = None,
 ) -> dict[str, jax.Array]:
-    """All loss terms at one pyramid scale; flows in this scale's pixels.
+    """Loss terms at one pyramid scale; flows in this scale's pixels.
 
     Reference: src/e2eflow/core/losses.py::compute_losses.
     ``mask_occlusion``: 'fb' (forward-backward consistency, the paper
     default), 'disocc' (forward-warp density), or '' (no masking).
+
+    ``weights``: when given, terms with weight 0 are skipped entirely —
+    they would otherwise still run in the hot path (the logged values
+    block XLA dead-code elimination). None computes every term.
     """
+
+    def active(key: str) -> bool:
+        return weights is None or bool(weights.get(key, 0.0))
     # One gather per direction: the image and the opposite-direction flow
     # are warped by the same flow field, so concatenate channels (XLA TPU
     # gathers pay per launch; 2 launches instead of 4 per scale).
@@ -121,25 +129,33 @@ def compute_losses(
         raise ValueError(f"unknown mask_occlusion mode {mask_occlusion!r}")
 
     losses = {}
-    # Constant penalty on the occlusion estimate so masking is not free.
-    losses["occ"] = charbonnier_loss(occ_fw) + charbonnier_loss(occ_bw)
-    # Symmetry between the two occlusion estimates ([LOW] recollection;
-    # default weight 0 — kept for config parity with the reference).
-    losses["sym"] = charbonnier_loss(occ_fw - occ_bw)
-    losses["fb"] = charbonnier_loss(flow_diff_fw, mask_fw) + charbonnier_loss(
-        flow_diff_bw, mask_bw
-    )
-    losses["grad"] = gradient_loss(im1, im2_warped, mask_fw) + gradient_loss(
-        im2, im1_warped, mask_bw
-    )
-    losses["ternary"] = ternary_loss(
-        im1, im2_warped, mask_fw, data_max_distance
-    ) + ternary_loss(im2, im1_warped, mask_bw, data_max_distance)
-    losses["photo"] = photometric_loss(im_diff_fw, mask_fw) + photometric_loss(
-        im_diff_bw, mask_bw
-    )
-    losses["smooth_1st"] = smoothness_loss(flow_fw) + smoothness_loss(flow_bw)
-    losses["smooth_2nd"] = second_order_loss(flow_fw) + second_order_loss(flow_bw)
+    if active("occ"):
+        # Constant penalty on the occlusion estimate so masking is not free.
+        losses["occ"] = charbonnier_loss(occ_fw) + charbonnier_loss(occ_bw)
+    if active("sym"):
+        # Symmetry between the two occlusion estimates ([LOW] recollection;
+        # default weight 0 — kept for config parity with the reference).
+        losses["sym"] = charbonnier_loss(occ_fw - occ_bw)
+    if active("fb"):
+        losses["fb"] = charbonnier_loss(flow_diff_fw, mask_fw) + charbonnier_loss(
+            flow_diff_bw, mask_bw
+        )
+    if active("grad"):
+        losses["grad"] = gradient_loss(im1, im2_warped, mask_fw) + gradient_loss(
+            im2, im1_warped, mask_bw
+        )
+    if active("ternary"):
+        losses["ternary"] = ternary_loss(
+            im1, im2_warped, mask_fw, data_max_distance
+        ) + ternary_loss(im2, im1_warped, mask_bw, data_max_distance)
+    if active("photo"):
+        losses["photo"] = photometric_loss(im_diff_fw, mask_fw) + photometric_loss(
+            im_diff_bw, mask_bw
+        )
+    if active("smooth_1st"):
+        losses["smooth_1st"] = smoothness_loss(flow_fw) + smoothness_loss(flow_bw)
+    if active("smooth_2nd"):
+        losses["smooth_2nd"] = second_order_loss(flow_fw) + second_order_loss(flow_bw)
     return losses
 
 
@@ -183,11 +199,11 @@ def unsupervised_loss(
             border_mask=border,
             mask_occlusion=mask_occlusion,
             data_max_distance=LAYER_PATCH_DISTANCES[i],
+            weights=weights,
         )
         scale_total = jnp.zeros((), jnp.float32)
         for key, value in terms.items():
-            if weights.get(key, 0.0):
-                scale_total = scale_total + weights[key] * value
+            scale_total = scale_total + weights[key] * value
             logs[f"{key}/scale{i}"] = value
         total = total + LAYER_WEIGHTS[i] * scale_total
 

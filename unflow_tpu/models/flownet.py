@@ -215,6 +215,8 @@ class FlowNetStack(nn.Module):
     spec: str = "C"
     compute_dtype: jnp.dtype = jnp.float32
     corr_impl: str | None = None
+    max_displacement: int = 20
+    corr_stride: int = 2
 
     @nn.compact
     def __call__(self, im1: jax.Array, im2: jax.Array) -> list[list[jax.Array]]:
@@ -230,7 +232,9 @@ class FlowNetStack(nn.Module):
                 if kind == "C":
                     flows = FlowNetC(
                         compute_dtype=self.compute_dtype,
-                        corr_impl=self.corr_impl, name=name,
+                        corr_impl=self.corr_impl,
+                        max_displacement=self.max_displacement,
+                        corr_stride=self.corr_stride, name=name,
                     )(im1, im2)
                 else:
                     flows = FlowNetS(compute_dtype=self.compute_dtype, name=name)(

@@ -50,6 +50,15 @@ class CheckpointManager:
         abstract = jax.tree_util.tree_map(ocp.utils.to_shape_dtype_struct, template)
         return self._mgr.restore(step, args=ocp.args.StandardRestore(abstract))
 
+    def restore_untyped(self, step: int | None = None) -> Any:
+        """Template-free restore: the tree structure comes from the
+        checkpoint's own metadata. Public wrapper so callers never reach
+        into orbax internals."""
+        step = self.latest_step() if step is None else step
+        if step is None:
+            raise FileNotFoundError(f"no checkpoint under {self._dir}")
+        return self._mgr.restore(step, args=ocp.args.StandardRestore())
+
     def close(self):
         self._mgr.wait_until_finished()
         self._mgr.close()
@@ -64,10 +73,7 @@ def restore_params(exp_dir: str | Path, params_template: Any = None) -> Any:
     del params_template  # structure comes from checkpoint metadata
     mgr = CheckpointManager(exp_dir)
     try:
-        step = mgr.latest_step()
-        if step is None:
-            raise FileNotFoundError(f"no checkpoint under {mgr.directory}")
-        restored = mgr._mgr.restore(step, args=ocp.args.StandardRestore())
+        restored = mgr.restore_untyped()
     finally:
         mgr.close()
     return restored["params"]
@@ -85,14 +91,14 @@ def init_stages_from(params: dict, finetune_exp_dirs: list[str | Path]) -> dict:
     for exp_dir in finetune_exp_dirs:
         ckpt_dir = Path(exp_dir)
         mgr = CheckpointManager(ckpt_dir)
-        step = mgr.latest_step()
-        if step is None:
-            mgr.close()
-            raise FileNotFoundError(f"finetune experiment has no checkpoint: {ckpt_dir}")
         # Template-free restore: the prior experiment may have fewer
         # stages than this one; copy whichever stage subtrees it has.
         try:
-            restored = mgr._mgr.restore(step, args=ocp.args.StandardRestore())
+            restored = mgr.restore_untyped()
+        except FileNotFoundError as e:
+            raise FileNotFoundError(
+                f"finetune experiment has no checkpoint: {ckpt_dir}"
+            ) from e
         finally:
             mgr.close()
         for key, sub in restored.get("params", {}).items():

@@ -51,6 +51,8 @@ def build_model(cfg: Config) -> FlowNetStack:
         spec=t.flownet,
         compute_dtype=jnp.bfloat16 if t.compute_dtype == "bfloat16" else jnp.float32,
         corr_impl=None if t.corr_impl == "auto" else t.corr_impl,
+        max_displacement=t.max_displacement,
+        corr_stride=t.corr_stride,
     )
 
 
