@@ -10,7 +10,11 @@ and the jnp reference, on the real TPU. Run: python scripts/bench_corr_kernels.p
 from __future__ import annotations
 
 import functools
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp

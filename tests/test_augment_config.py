@@ -102,3 +102,141 @@ def test_experiment_snapshot_governs_resume(tmp_path):
     prepare_experiment_dir(cfg2, "myex")
     snap = load_config(ex / "config.ini")
     assert snap.train.flownet == "C"
+
+
+# ---------------------------------------------------------------------------
+# Affine geometric augmentation
+# ---------------------------------------------------------------------------
+
+
+def test_affine_identity_params():
+    from unflow_tpu.augment import apply_affine
+    from unflow_tpu.augment.affine import AffineParams
+
+    b, h, w = 2, 16, 24
+    rng0 = np.random.RandomState(0)
+    im1 = jnp.asarray(rng0.rand(b, h, w, 3).astype(np.float32))
+    im2 = jnp.asarray(rng0.rand(b, h, w, 3).astype(np.float32))
+    flow = jnp.asarray(rng0.randn(b, h, w, 2).astype(np.float32))
+    mask = jnp.ones((b, h, w, 1), jnp.float32)
+    eye = jnp.broadcast_to(jnp.eye(2), (b, 2, 2))
+    zero = jnp.zeros((b, 2))
+    params = AffineParams(eye, zero, eye, zero)
+    ims, flows, masks = apply_affine(params, [im1, im2], [flow], [mask])
+    np.testing.assert_allclose(np.asarray(ims[0]), np.asarray(im1), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(ims[1]), np.asarray(im2), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(flows[0]), np.asarray(flow), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(masks[0]), np.asarray(mask), atol=1e-6)
+
+
+def test_affine_relative_translation_shifts_flow():
+    """Pure relative translation d on frame 2 => f' = f - d (interior)."""
+    from unflow_tpu.augment import apply_affine
+    from unflow_tpu.augment.affine import AffineParams
+
+    b, h, w = 1, 16, 24
+    rng0 = np.random.RandomState(1)
+    im1 = jnp.asarray(rng0.rand(b, h, w, 3).astype(np.float32))
+    im2 = jnp.asarray(rng0.rand(b, h, w, 3).astype(np.float32))
+    flow = jnp.asarray(np.full((b, h, w, 2), 1.5, np.float32))
+    eye = jnp.broadcast_to(jnp.eye(2), (b, 2, 2))
+    zero = jnp.zeros((b, 2))
+    d = jnp.asarray([[2.0, -1.0]])
+    params = AffineParams(eye, zero, eye, d)
+    _, flows, _ = apply_affine(params, [im1, im2], [flow])
+    np.testing.assert_allclose(
+        np.asarray(flows[0][0, 4:-4, 4:-4]),
+        np.asarray(flow[0, 4:-4, 4:-4] - d[0]),
+        atol=1e-4,
+    )
+
+
+def test_affine_gt_consistency_under_random_transform():
+    """backward_warp(im2', f') must reproduce im1' wherever the GT was
+    photometrically consistent before augmentation (interior pixels)."""
+    from unflow_tpu.augment import random_affine
+    from unflow_tpu.ops import backward_warp
+
+    b, h, w = 1, 40, 56
+    rng0 = np.random.RandomState(2)
+    # Smooth base image so bilinear interpolation error stays small.
+    base = rng0.rand(h + 12, w + 12, 3).astype(np.float32)
+    for _ in range(8):
+        base = 0.25 * (
+            np.roll(base, 1, 0) + np.roll(base, -1, 0)
+            + np.roll(base, 1, 1) + np.roll(base, -1, 1)
+        )
+    # True flow: constant integer translation (tx, ty) = (3, 2):
+    # im2[y, x] = im1[y - 2, x - 3]  =>  im1[p] = im2[p + f], f = (3, 2).
+    ty, tx = 2, 3
+    im1 = base[6 : 6 + h, 6 : 6 + w]
+    im2 = base[6 - ty : 6 - ty + h, 6 - tx : 6 - tx + w]
+    flow = np.broadcast_to(
+        np.asarray([tx, ty], np.float32), (b, h, w, 2)
+    ).copy()
+
+    ims, flows, _ = random_affine(
+        jax.random.PRNGKey(7),
+        [jnp.asarray(im1[None]), jnp.asarray(im2[None])],
+        flows=[jnp.asarray(flow)],
+        translate=0.05, rotate_deg=8.0, zoom_min=0.95, zoom_max=1.1,
+        rel_translate=0.02, rel_rotate_deg=5.0, rel_zoom=0.05,
+    )
+    rewarped = backward_warp(ims[1], flows[0])
+    inner = np.s_[0, 10:-10, 10:-10, :]
+    # Residual is double-bilinear interpolation noise; it converges to 0
+    # as the image gets smoother (verified 3/8/20 blur passes:
+    # 0.0135/0.0079/0.0043 mean).
+    err = np.abs(np.asarray(rewarped)[inner] - np.asarray(ims[0])[inner])
+    assert float(err.mean()) < 0.012, float(err.mean())
+    assert float(err.max()) < 0.12, float(err.max())
+
+
+def test_affine_zoom_mask_invalidates_outside():
+    """Zoom OUT (scale < 1 content) samples outside the source frame at
+    the borders -> mask must be invalidated there, valid inside."""
+    from unflow_tpu.augment import apply_affine
+    from unflow_tpu.augment.affine import AffineParams
+
+    b, h, w = 1, 16, 16
+    im = jnp.ones((b, h, w, 3), jnp.float32)
+    flow = jnp.zeros((b, h, w, 2), jnp.float32)
+    mask = jnp.ones((b, h, w, 1), jnp.float32)
+    # Output->source scale 1.5: borders read outside the source.
+    a = jnp.broadcast_to(1.5 * jnp.eye(2), (b, 2, 2))
+    zero = jnp.zeros((b, 2))
+    params = AffineParams(a, zero, a, zero)
+    _, _, masks = apply_affine(params, [im, im], [flow], [mask])
+    m = np.asarray(masks[0][0, :, :, 0])
+    assert m[0, 0] == 0.0 and m[-1, -1] == 0.0
+    assert m[h // 2, w // 2] == 1.0
+
+
+def test_affine_in_train_config_smoke():
+    """Train step runs with affine aug on (tiny synthetic, CPU)."""
+    from unflow_tpu.config import Config
+    from unflow_tpu.data.synthetic import batch_iterator
+    from unflow_tpu.train import TrainState, build_model, build_optimizer, make_train_step
+
+    cfg = Config()
+    t = cfg.train
+    t.flownet = "S"
+    t.height, t.width = 64, 64
+    t.batch_size = 2
+    t.compute_dtype = "float32"
+    t.aug_rotate = 5.0
+    t.aug_translate = 0.03
+    t.aug_zoom_min, t.aug_zoom_max = 0.95, 1.05
+    t.aug_rel_rotate = 2.0
+
+    model = build_model(cfg)
+    sample = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), sample, sample)["params"]
+    tx = build_optimizer(cfg, params)
+    state = TrainState(jnp.zeros((), jnp.int32), params, tx.init(params))
+    batch = {k: jnp.asarray(v) for k, v in next(
+        batch_iterator(2, 64, 64, seed=0)
+    ).items()}
+    step = jax.jit(make_train_step(model, tx, cfg))
+    new_state, logs = step(state, batch, jax.random.PRNGKey(0))
+    assert np.isfinite(float(logs["loss"]))

@@ -117,4 +117,17 @@ def normalize(im: jax.Array, mean: Sequence[float], stddev: float) -> jax.Array:
     return (im * 255.0 - jnp.asarray(mean, im.dtype)) / stddev
 
 
-__all__ = ["random_photometric", "random_crop_flip", "normalize"]
+from unflow_tpu.augment.affine import (  # noqa: E402
+    apply_affine,
+    random_affine,
+    sample_affine_params,
+)
+
+__all__ = [
+    "random_photometric",
+    "random_crop_flip",
+    "normalize",
+    "random_affine",
+    "apply_affine",
+    "sample_affine_params",
+]

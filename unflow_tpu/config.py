@@ -42,6 +42,16 @@ class TrainConfig:
     smooth_2nd_weight: float = 3.0
     mask_occlusion: str = "fb"  # fb | disocc | (empty)
     border_ratio: float = 0.0
+    # Affine geometric augmentation (reference core/augment.py; ranges are
+    # [MED] recollections so everything defaults to off). Fractions of
+    # min(H, W) for translations; degrees for rotations.
+    aug_translate: float = 0.0
+    aug_rotate: float = 0.0
+    aug_zoom_min: float = 1.0
+    aug_zoom_max: float = 1.0
+    aug_rel_translate: float = 0.0
+    aug_rel_rotate: float = 0.0
+    aug_rel_zoom: float = 0.0
     train_all: bool = False
     supervised: bool = False
     finetune: tuple[str, ...] = ()

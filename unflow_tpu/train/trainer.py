@@ -26,7 +26,12 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from unflow_tpu.augment import normalize, random_crop_flip, random_photometric
+from unflow_tpu.augment import (
+    normalize,
+    random_affine,
+    random_crop_flip,
+    random_photometric,
+)
 from unflow_tpu.config import Config
 from unflow_tpu.losses import supervised_loss, unsupervised_loss
 from unflow_tpu.models import FlowNetStack, param_labels
@@ -85,16 +90,37 @@ def make_train_step(
     weights = cfg.train.loss_weights()
     mean, stddev = normalization
     crop_hw = (t.height, t.width)
+    affine_ranges = {
+        "translate": t.aug_translate,
+        "rotate_deg": t.aug_rotate,
+        "zoom_min": t.aug_zoom_min,
+        "zoom_max": t.aug_zoom_max,
+        "rel_translate": t.aug_rel_translate,
+        "rel_rotate_deg": t.aug_rel_rotate,
+        "rel_zoom": t.aug_rel_zoom,
+    }
+    affine_on = bool(
+        t.aug_translate or t.aug_rotate or t.aug_rel_translate
+        or t.aug_rel_rotate or t.aug_rel_zoom
+        or t.aug_zoom_min != 1.0 or t.aug_zoom_max != 1.0
+    )
 
     def train_step(state: TrainState, batch: dict, rng: jax.Array):
         step_rng = jax.random.fold_in(rng, state.step)
-        k_geo, k_photo = jax.random.split(step_rng)
+        k_geo, k_photo, k_affine = jax.random.split(step_rng, 3)
 
         ims = [batch["im1"], batch["im2"]]
         gt = [batch["flow"]] if t.supervised else None
+        masks = [batch["mask"]] if t.supervised and "mask" in batch else None
+        if affine_on:
+            # Shared global + relative affine, applied at the loaded size
+            # so the subsequent random crop sees the transformed frames.
+            ims, gt, masks = random_affine(
+                k_affine, ims, flows=gt, masks=masks, **affine_ranges
+            )
         ims, gt = random_crop_flip(k_geo, ims, crop_hw, flows=gt)
-        if t.supervised and "mask" in batch:
-            (mask,), _ = random_crop_flip(k_geo, [batch["mask"]], crop_hw)
+        if masks is not None:
+            (mask,), _ = random_crop_flip(k_geo, [masks[0]], crop_hw)
         else:
             mask = None
         im1, im2 = ims
