@@ -60,10 +60,7 @@ def main():
 
     inv_c = 1.0 / C
 
-    half = [x[..., :128] for x in (f1, f2)]
-
-    timeit("fwd jnp", jax.jit(functools.partial(correlation_jnp, max_displacement=P, stride=S)), f1, f2)
-    timeit("fwd vpu (chunked)", jax.jit(lambda a, b: vpu._corr_fwd_chunk(a, b, P, S, inv_c)), *[x[..., :128] for x in (f1, f2)])
+    timeit("fwd dispatcher", jax.jit(lambda a, b: vpu.correlation_pallas(a, b, P, S)), f1, f2)
     timeit("fwd mxu (256)", jax.jit(lambda a, b: mxu.corr_fwd_mxu(a, b, P, S, inv_c)), f1, f2)
     timeit("bwd_f1 mxu (256)", jax.jit(lambda gg, b: mxu.corr_bwd_f1_mxu(gg, b, P, S, inv_c)), g, f2)
     timeit("bwd_f1 vpu impl", jax.jit(lambda gg, b: vpu._corr_bwd_f1_impl(gg.astype(jnp.float32), b, P, S)), g, f2)
@@ -81,6 +78,7 @@ def main():
         return vjp(gg.astype(jnp.float32))
 
     timeit("full vjp (dispatcher)", jax.jit(full_vjp), f1, f2, g)
+    timeit("fwd jnp", jax.jit(functools.partial(correlation_jnp, max_displacement=P, stride=S)), f1, f2)
 
 
 if __name__ == "__main__":

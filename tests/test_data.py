@@ -1,6 +1,7 @@
 """Data layer tests: format IO roundtrips, dataset enumeration, loader."""
 
 import time
+from pathlib import Path
 
 import numpy as np
 import pytest
@@ -117,6 +118,52 @@ def test_kitti_raw_enumeration(tmp_path, rng):
     examples = ds.train_examples()
     assert len(examples) == 3  # 4 frames -> 3 consecutive pairs
     assert examples[0].flow is None
+
+
+def test_kitti_raw_warns_without_exclusion_source(tmp_path, rng):
+    _make_kitti_raw(tmp_path, rng)
+    with pytest.warns(UserWarning, match="contaminates"):
+        KITTIRaw(tmp_path).train_examples()
+
+
+def test_kitti_raw_auto_exclusion_from_2015_mapping(tmp_path, rng):
+    """Frames around the kitti_2015 devkit's mapped raw scenes must be
+    dropped from raw training (eval-scene contamination guard)."""
+    drive = "2011_09_26_drive_0001"
+    d = tmp_path / "kitti_raw" / drive / "image_02" / "data"
+    d.mkdir(parents=True)
+    for i in range(30):
+        write_image(d / f"{i:010d}.png", rng.rand(8, 16, 3).astype(np.float32))
+    mapping = tmp_path / "kitti_2015" / "devkit" / "mapping"
+    mapping.mkdir(parents=True)
+    (mapping / "train_mapping.txt").write_text(
+        f"2011_09_26 {drive} 0000000010\n\n"  # blank line: unmapped frame
+    )
+    ds = KITTIRaw(tmp_path, exclude_window=5)
+    examples = ds.train_examples()
+    kept = {int(Path(e.im1).stem) for e in examples}
+    # frames 5..15 excluded; pair (4,5) touches frame 5 -> first kept
+    # im1 above the window is 16; below, pairs 0..3 survive.
+    assert kept == {0, 1, 2, 3} | set(range(16, 29)), sorted(kept)
+
+
+def test_kitti_raw_exclude_file_scene_format(tmp_path, rng):
+    _make_kitti_raw(tmp_path, rng, n_frames=6)
+    exclude = tmp_path / "exclude.txt"
+    exclude.write_text("# comment\n2011_09_26_drive_0001 2\n")
+    ds = KITTIRaw(tmp_path, exclude_file=str(exclude), exclude_window=1)
+    kept = {int(Path(e.im1).stem) for e in ds.train_examples()}
+    assert kept == {4}, sorted(kept)  # frames 1..3 excluded, pair (4,5) kept
+
+
+def test_kitti_raw_exclusion_off_is_silent(tmp_path, rng):
+    import warnings as _warnings
+
+    _make_kitti_raw(tmp_path, rng)
+    with _warnings.catch_warnings():
+        _warnings.simplefilter("error")
+        examples = KITTIRaw(tmp_path, exclude="off").train_examples()
+    assert len(examples) == 3
 
 
 def test_kitti_2012_enumeration(tmp_path, rng):

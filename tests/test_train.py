@@ -29,6 +29,7 @@ def tiny_config(tmp_path, **overrides) -> Config:
     t.compute_dtype = "float32"
     t.corr_impl = "jnp"
     t.learning_rate = 1e-4
+    t.image_summary_interval = -1  # dedicated test covers summaries
     for k, v in overrides.items():
         setattr(t, k, v)
     return cfg
@@ -70,6 +71,19 @@ def test_unsupervised_training_reduces_loss(tmp_path):
     # Augmentation adds per-step noise; compare early vs late averages.
     assert np.mean(losses[-3:]) < np.mean(losses[:3]), losses
     assert all(np.isfinite(l) for l in losses)
+
+
+def test_image_summaries_written(tmp_path):
+    cfg = tiny_config(tmp_path, num_iters=2, display_interval=2,
+                      image_summary_interval=2)
+    batches = batch_iterator(2, H, W, seed=0)
+    trainer = Trainer(cfg, tmp_path / "ex_sum", batches, mesh=create_mesh(1))
+    trainer.run()
+    out = tmp_path / "ex_sum" / "summaries" / "step_00000002"
+    expected = {"im1.png", "im2.png", "flow_fw.png", "flow_bw.png",
+                "im2_warped.png", "error.png", "occ_mask.png"}
+    assert out.is_dir()
+    assert expected <= {p.name for p in out.iterdir()}
 
 
 def test_supervised_training_step(tmp_path):

@@ -30,6 +30,9 @@ class TrainConfig:
     weight_decay: float = 0.0
     save_interval: int = 5_000
     display_interval: int = 100
+    # Image summaries (flow color / warped frame / occlusion mask PNGs,
+    # reference tf.summary images): 0 = every display_interval, -1 = off.
+    image_summary_interval: int = 0
     eval_interval: int = 0  # 0 = no in-training eval
     # loss-term weights (reference config keys like ternary_weight)
     occ_weight: float = 12.4

@@ -25,34 +25,110 @@ KITTI_STDDEV = 60.0
 class KITTIRaw(PairDataset):
     """Consecutive-frame pairs from KITTI raw drives (no GT).
 
-    The reference excludes frames overlapping the 2012/2015 eval scenes
-    from raw training; pass ``exclude_file`` (one image path substring
-    per line) to reproduce that filtering.
+    Eval-scene exclusion (reference ``src/e2eflow/kitti/input.py::
+    input_raw`` excludes raw frames overlapping the 2012/2015 eval
+    scenes [MED]) is ON by default:
+
+      * Explicit: pass ``exclude_file`` — lines are either a bare path
+        substring, or ``<drive> <frame_index>`` pairs excluding
+        ``exclude_window`` frames around that index in that drive.
+      * Automatic: when the sibling ``kitti_2015`` dataset is present,
+        its devkit's ``train_mapping.txt`` (eval frame -> raw drive +
+        frame index) is parsed and those scenes are excluded with the
+        same window — the exclusion is derived from the eval set itself,
+        not a shipped approximation.
+      * Neither available: a loud warning that raw training may
+        contaminate the 2012/2015 eval scenes (set
+        ``exclude="off"`` to silence deliberately).
     """
 
     name = "kitti_raw"
     normalization = (KITTI_MEAN, KITTI_STDDEV)
 
-    def __init__(self, data_dir, exclude_file: str | None = None):
+    def __init__(
+        self,
+        data_dir,
+        exclude_file: str | None = None,
+        exclude: str = "auto",  # auto | off
+        exclude_window: int = 20,
+    ):
         super().__init__(data_dir)
-        self.exclude = []
+        self.exclude_mode = exclude
+        self.exclude_window = exclude_window
+        self.exclude_substrings: list[str] = []
+        self.exclude_scenes: list[tuple[str, int]] = []  # (drive, frame)
         if exclude_file:
-            self.exclude = [
-                line.strip()
-                for line in open(exclude_file)
-                if line.strip()
-            ]
+            for line in open(exclude_file):
+                line = line.strip()
+                if not line or line.startswith("#"):
+                    continue
+                parts = line.split()
+                if len(parts) == 2 and parts[1].isdigit():
+                    self.exclude_scenes.append((parts[0], int(parts[1])))
+                else:
+                    self.exclude_substrings.append(line)
+
+    def _auto_exclusions(self) -> list[tuple[str, int]]:
+        """Parse kitti_2015's devkit train mapping when present.
+
+        Lines look like ``2011_09_26 2011_09_26_drive_0009_sync
+        0000000384`` (empty for frames without a raw correspondence).
+        """
+        scenes = []
+        for mapping in sorted(
+            (self.data_dir / "kitti_2015").glob("**/train_mapping.txt")
+        ):
+            for line in open(mapping):
+                parts = line.split()
+                if len(parts) == 3:
+                    scenes.append((parts[1], int(parts[2])))
+        return scenes
 
     def train_examples(self) -> list[Example]:
         root = self._require(
             self.data_dir / "kitti_raw", "KITTI raw city/residential/road drives."
         )
+        scenes = list(self.exclude_scenes)
+        if self.exclude_mode == "auto":
+            scenes += self._auto_exclusions()
+        if (
+            self.exclude_mode != "off"
+            and not scenes
+            and not self.exclude_substrings
+        ):
+            import warnings
+
+            warnings.warn(
+                "KITTIRaw: no eval-scene exclusion active (no exclude_file; "
+                "kitti_2015/devkit train_mapping.txt not found). Training on "
+                "unfiltered raw drives contaminates the KITTI 2012/2015 eval "
+                "scenes. Pass exclude_file=..., place the kitti_2015 devkit "
+                "under the data dir, or set exclude='off' to silence.",
+                stacklevel=2,
+            )
+        by_drive: dict[str, list[int]] = {}
+        for drive, frame in scenes:
+            by_drive.setdefault(drive, []).append(frame)
+
+        def excluded(path: Path) -> bool:
+            s = str(path)
+            if any(x in s for x in self.exclude_substrings):
+                return True
+            for drive, frames in by_drive.items():
+                if drive in s:
+                    try:
+                        idx = int(path.stem)
+                    except ValueError:
+                        return True  # unparseable frame in a mapped drive
+                    if any(abs(idx - f) <= self.exclude_window for f in frames):
+                        return True
+            return False
+
         examples = []
         for image_dir in sorted(root.glob("**/image_02/data")):
             frames = sorted(image_dir.glob("*.png"))
             for a, b in zip(frames, frames[1:]):
-                s = str(a)
-                if any(x in s for x in self.exclude):
+                if excluded(a) or excluded(b):
                     continue
                 examples.append(Example(im1=str(a), im2=str(b)))
         if not examples:

@@ -371,6 +371,13 @@ def corr_bwd_f2_mxu(
             pltpu.VMEM((-(-d // 2), wp, w2p), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
+        # The cotangent + f1 stripe windows alone are ~9-11 MB; the
+        # default Mosaic budget (16 MB) rejects the kernel with the
+        # pipeline's double-buffered output blocks on top. v5e has
+        # far more physical VMEM — raise the cap for this call.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
         interpret=_INTERPRET,
     )(gs, f1s)
 

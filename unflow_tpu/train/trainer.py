@@ -38,6 +38,7 @@ from unflow_tpu.models import FlowNetStack, param_labels
 from unflow_tpu.parallel import batch_sharding, create_mesh, replicated
 from unflow_tpu.train.checkpoint import CheckpointManager, init_stages_from
 from unflow_tpu.train.schedule import piecewise_halving
+from unflow_tpu.train.summaries import ImageSummaryWriter
 from unflow_tpu.utils import MetricsLogger
 
 DEFAULT_NORMALIZATION = ((104.92, 110.18, 114.47), 60.0)
@@ -231,6 +232,18 @@ class Trainer:
         step_fn = make_train_step(self.model, self.tx, cfg, normalization)
         self._step = jax.jit(step_fn, donate_argnums=(0,))
         self.logger = MetricsLogger(self.exp_dir)
+        # Image summaries (reference: tf.summary images at display
+        # cadence); interval 0 follows display_interval, -1 disables.
+        self._summary_interval = (
+            t.display_interval
+            if t.image_summary_interval == 0
+            else t.image_summary_interval
+        )
+        self._summaries = (
+            ImageSummaryWriter(self.exp_dir, self.model, normalization)
+            if self._summary_interval > 0
+            else None
+        )
         # Periodic in-training evaluation on a held-out split (reference:
         # core/train.py eval summaries). eval_fn(params) -> {name: value}.
         self.eval_fn = eval_fn
@@ -268,6 +281,8 @@ class Trainer:
                     {**{k: v for k, v in logs.items()},
                      "pairs_per_sec": throughput},
                 )
+            if self._summaries is not None and step % self._summary_interval == 0:
+                self._summaries.write(step, self.state.params, batch)
             if self.eval_fn is not None and t.eval_interval and step % t.eval_interval == 0:
                 metrics = self.eval_fn(self.state.params)
                 self.logger.log(step, {f"eval/{k}": v for k, v in metrics.items()})
