@@ -212,6 +212,7 @@ def test_affine_zoom_mask_invalidates_outside():
     assert m[h // 2, w // 2] == 1.0
 
 
+@pytest.mark.slow
 def test_affine_in_train_config_smoke():
     """Train step runs with affine aug on (tiny synthetic, CPU)."""
     from unflow_tpu.config import Config

@@ -259,6 +259,41 @@ def test_loader_batches_and_determinism(tmp_path, rng):
     assert not np.array_equal(a[0]["im1"], c[0]["im1"])
 
 
+def test_resize_to_shape_image_and_flow():
+    from unflow_tpu.data.base import resize_to_shape
+
+    # Smooth ramp image: bilinear resize of a linear function is exact.
+    h, w = 8, 12
+    y = np.arange(h, dtype=np.float32)[:, None, None]
+    x = np.arange(w, dtype=np.float32)[None, :, None]
+    im = np.concatenate([y / h + 0 * x, x / w + 0 * y], -1)
+    out = resize_to_shape(im, (16, 24))
+    assert out.shape == (16, 24, 2)
+    yi = np.linspace(0, h - 1, 16) / h
+    xi = np.linspace(0, w - 1, 24) / w
+    np.testing.assert_allclose(out[..., 0], np.broadcast_to(yi[:, None], (16, 24)), atol=1e-6)
+    np.testing.assert_allclose(out[..., 1], np.broadcast_to(xi[None, :], (16, 24)), atol=1e-6)
+
+    # Constant flow doubled in width: u doubles, v scaled by h-ratio.
+    flow = np.full((8, 12, 2), 2.0, np.float32)
+    out = resize_to_shape(flow, (4, 24), is_flow=True)
+    np.testing.assert_allclose(out[..., 0], 2.0 * (24 / 12), atol=1e-6)
+    np.testing.assert_allclose(out[..., 1], 2.0 * (4 / 8), atol=1e-6)
+
+
+def test_loader_resize_mode(tmp_path, rng):
+    _make_kitti_2012(tmp_path, rng, n=2)
+    examples = KITTI2012(tmp_path).train_examples()
+    loader = Loader(
+        examples, batch_size=2, load_hw=(32, 64), supervised=True,
+        mode="resize",
+    )
+    batch = next(iter(loader))
+    assert batch["im1"].shape == (2, 32, 64, 3)
+    assert batch["flow"].shape == (2, 32, 64, 2)
+    assert set(np.unique(batch["mask"])) <= {0.0, 1.0}
+
+
 def test_loader_threaded_order_determinism(tmp_path, rng):
     """num_threads > 1 parallelizes decode but must not reorder the
     stream (pre-assigned indices, futures consumed in batch order)."""

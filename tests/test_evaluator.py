@@ -1,6 +1,7 @@
 """End-to-end Evaluator test: train -> checkpoint -> restore -> metrics."""
 
 import numpy as np
+import pytest
 
 from unflow_tpu.config import Config
 from unflow_tpu.data.base import Example
@@ -13,6 +14,7 @@ from unflow_tpu.train import Trainer
 H, W = 64, 128
 
 
+@pytest.mark.slow
 def test_evaluator_end_to_end(tmp_path, rng):
     cfg = Config()
     cfg.dirs.log = str(tmp_path / "log")

@@ -23,6 +23,7 @@ def _ini(tmp_path, name, flownet, finetune=""):
         "dataset = synthetic",
         f"flownet = {flownet}",
         "batch_size = 2",
+        "num_devices = 2",
         "height = 64",
         "width = 64",
         "max_displacement = 4",

@@ -50,6 +50,7 @@ def _repeat_first(it):
         yield batch
 
 
+@pytest.mark.slow
 def test_unsupervised_training_reduces_loss(tmp_path):
     cfg = tiny_config(tmp_path, num_iters=8, display_interval=1, learning_rate=3e-4)
     mesh = create_mesh(2)
@@ -73,6 +74,7 @@ def test_unsupervised_training_reduces_loss(tmp_path):
     assert all(np.isfinite(l) for l in losses)
 
 
+@pytest.mark.slow
 def test_image_summaries_written(tmp_path):
     cfg = tiny_config(tmp_path, num_iters=2, display_interval=2,
                       image_summary_interval=2)
@@ -94,6 +96,7 @@ def test_supervised_training_step(tmp_path):
     assert np.isfinite(logs["loss"])
 
 
+@pytest.mark.slow
 def test_training_resume_roundtrip(tmp_path):
     cfg = tiny_config(tmp_path, num_iters=2)
     batches = batch_iterator(2, H, W, seed=0)
@@ -110,6 +113,7 @@ def test_training_resume_roundtrip(tmp_path):
     t2.ckpt.close()
 
 
+@pytest.mark.slow
 def test_data_parallel_8_devices_matches_single(tmp_path):
     """Same seed, same data: 8-way sharded step == single-device step."""
     assert jax.device_count() >= 8
@@ -131,6 +135,7 @@ def test_data_parallel_8_devices_matches_single(tmp_path):
         np.testing.assert_allclose(a, b, atol=2.5 * lr)
 
 
+@pytest.mark.slow
 def test_finetune_stage_init(tmp_path):
     # Train a 1-stage S, then build an "Ss" — wait, frozen must be the
     # restored one: spec "sS" with stage0 initialized from the prior run.

@@ -1,6 +1,7 @@
 """Trainer mode coverage: train_all cascades, disocc occlusion masking."""
 
 import numpy as np
+import pytest
 
 from unflow_tpu.config import Config
 from unflow_tpu.data.synthetic import batch_iterator
@@ -27,6 +28,7 @@ def _cfg(tmp_path, **overrides):
     return cfg
 
 
+@pytest.mark.slow
 def test_train_all_stacked(tmp_path):
     """train_all applies the loss to every cascade stage (reference:
     config `train_all`, core/unsupervised.py)."""
@@ -40,6 +42,7 @@ def test_train_all_stacked(tmp_path):
     trainer.ckpt.close()
 
 
+@pytest.mark.slow
 def test_disocc_occlusion_mode(tmp_path):
     """disocc masking exercises the forward-warp op inside the train step."""
     cfg = _cfg(tmp_path, mask_occlusion="disocc")
@@ -50,6 +53,7 @@ def test_disocc_occlusion_mode(tmp_path):
     trainer.ckpt.close()
 
 
+@pytest.mark.slow
 def test_no_occlusion_mode(tmp_path):
     cfg = _cfg(tmp_path, mask_occlusion="")
     trainer = Trainer(cfg, tmp_path / "ex3", batch_iterator(2, H, W, seed=0),

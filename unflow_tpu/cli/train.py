@@ -43,6 +43,8 @@ def build_batches_and_norm(cfg: Config):
         load_hw=(t.height, t.width),
         supervised=t.supervised,
         seed=t.seed,
+        num_threads=t.num_threads,
+        mode=t.input_mode,
     )
     return iter(loader), dataset.normalization
 

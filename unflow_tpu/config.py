@@ -62,6 +62,11 @@ class TrainConfig:
     # here so tiny dryruns/tests can shrink the cost volume).
     max_displacement: int = 20
     corr_stride: int = 2
+    # Host input geometry: crop_pad (reference default) or resize
+    # (Input._resize_crop_or_pad resize mode — for datasets smaller than
+    # the train crop, e.g. SYNTHIA at 512x768 configs).
+    input_mode: str = "crop_pad"
+    num_threads: int = 4  # host decode threads (reference queue runners)
     # TPU-native knobs (no reference counterpart)
     compute_dtype: str = "bfloat16"  # model tower dtype; losses stay f32
     corr_impl: str = "auto"

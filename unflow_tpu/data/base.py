@@ -86,7 +86,42 @@ def fit_to_shape(im: np.ndarray, target_hw: tuple[int, int]) -> np.ndarray:
     return im
 
 
-def load_example(ex: Example, target_hw: tuple[int, int] | None, supervised: bool):
+def resize_to_shape(
+    im: np.ndarray, target_hw: tuple[int, int], is_flow: bool = False
+) -> np.ndarray:
+    """Bilinear resize to (H, W); flow fields get their vectors rescaled
+    by the size ratio (reference: Input._resize_crop_or_pad resize mode
+    + flow resizing in the supervised inputs [MED])."""
+    th, tw = target_hw
+    h, w = im.shape[:2]
+    if (h, w) == (th, tw):
+        return im
+    # separable bilinear via np.interp on each axis (no PIL dependency
+    # for multi-channel float arrays)
+    yi = np.linspace(0.0, h - 1.0, th)
+    xi = np.linspace(0.0, w - 1.0, tw)
+    y0 = np.floor(yi).astype(np.int64)
+    x0 = np.floor(xi).astype(np.int64)
+    y1 = np.minimum(y0 + 1, h - 1)
+    x1 = np.minimum(x0 + 1, w - 1)
+    wy = (yi - y0).astype(im.dtype)[:, None, None]
+    wx = (xi - x0).astype(im.dtype)[None, :, None]
+    rows0 = im[y0]
+    rows1 = im[y1]
+    top = rows0[:, x0] * (1 - wx) + rows0[:, x1] * wx
+    bot = rows1[:, x0] * (1 - wx) + rows1[:, x1] * wx
+    out = top * (1 - wy) + bot * wy
+    if is_flow:
+        out = out * np.asarray([tw / w, th / h], out.dtype)
+    return out
+
+
+def load_example(
+    ex: Example,
+    target_hw: tuple[int, int] | None,
+    supervised: bool,
+    mode: str = "crop_pad",
+):
     im1 = read_image(ex.im1)
     im2 = read_image(ex.im2)
     out = {}
@@ -100,11 +135,23 @@ def load_example(ex: Example, target_hw: tuple[int, int] | None, supervised: boo
             valid = np.ones(flow.shape[:2] + (1,), np.float32)
         out["flow"], out["mask"] = flow, valid
     if target_hw is not None:
-        im1 = fit_to_shape(im1, target_hw)
-        im2 = fit_to_shape(im2, target_hw)
-        if supervised:
-            out["flow"] = fit_to_shape(out["flow"], target_hw)
-            out["mask"] = fit_to_shape(out["mask"], target_hw)
+        if mode == "resize":
+            im1 = resize_to_shape(im1, target_hw)
+            im2 = resize_to_shape(im2, target_hw)
+            if supervised:
+                out["flow"] = resize_to_shape(out["flow"], target_hw, is_flow=True)
+                # nearest-style validity: strict after bilinear
+                out["mask"] = (
+                    resize_to_shape(out["mask"], target_hw) > 0.999
+                ).astype(np.float32)
+        elif mode == "crop_pad":
+            im1 = fit_to_shape(im1, target_hw)
+            im2 = fit_to_shape(im2, target_hw)
+            if supervised:
+                out["flow"] = fit_to_shape(out["flow"], target_hw)
+                out["mask"] = fit_to_shape(out["mask"], target_hw)
+        else:
+            raise ValueError(f"unknown load mode {mode!r}")
     out["im1"], out["im2"] = im1, im2
     return out
 
@@ -130,6 +177,7 @@ class Loader:
         num_threads: int = 4,
         prefetch: int = 2,
         loop: bool = True,
+        mode: str = "crop_pad",
     ):
         if not examples:
             raise ValueError("empty example list")
@@ -142,6 +190,7 @@ class Loader:
         self.num_threads = num_threads
         self.prefetch = prefetch
         self.loop = loop
+        self.mode = mode
 
     def _epoch_order(self, epoch: int) -> np.ndarray:
         idx = np.arange(len(self.examples))
@@ -202,6 +251,7 @@ class Loader:
                                         self.examples[i],
                                         self.load_hw,
                                         self.supervised,
+                                        self.mode,
                                     )
                                     for i in sel
                                 ]

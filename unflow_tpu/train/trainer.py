@@ -134,11 +134,22 @@ def make_train_step(
 
         def loss_fn(params):
             variables = {"params": params}
-            stages_fw = model.apply(variables, n1, n2)
             if t.supervised:
+                stages_fw = model.apply(variables, n1, n2)
                 total, logs = supervised_loss(stages_fw[-1], gt[0], mask)
                 return total, logs
-            stages_bw = model.apply(variables, n2, n1)
+            # One apply at 2x batch computes forward AND backward flow:
+            # halves the kernel-launch count and runs the correlation /
+            # conv kernels at a fuller batch (reference runs the net twice
+            # with shared variables — core/flownet.py backward_flow=True).
+            nb = n1.shape[0]
+            stages_both = model.apply(
+                variables,
+                jnp.concatenate([n1, n2], axis=0),
+                jnp.concatenate([n2, n1], axis=0),
+            )
+            stages_fw = [[f[:nb] for f in stage] for stage in stages_both]
+            stages_bw = [[f[nb:] for f in stage] for stage in stages_both]
             stage_ids = (
                 range(len(stages_fw)) if t.train_all else [len(stages_fw) - 1]
             )
