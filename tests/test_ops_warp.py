@@ -75,3 +75,35 @@ def test_forward_warp_image_shift(rng):
 def test_forward_warp_gradcheck(rng):
     flow = jnp.asarray(rng.uniform(0.2, 0.8, (1, 4, 5, 2)).astype(np.float32))
     check_grads_fd(forward_warp, (flow,))
+
+
+def test_backward_warp_packed_matches_reference(rng):
+    """The packed single-gather formulation must match the 4-gather
+    reference exactly, including far out-of-frame coordinates."""
+    import jax
+
+    from unflow_tpu.ops.warp import backward_warp_jnp, backward_warp_packed
+
+    im = jnp.asarray(rng.randn(2, 7, 9, 3).astype(np.float32))
+    # Flows spanning in-frame subpixel, exact-integer, and OOB on every
+    # side (beyond both -1 and +extent).
+    flow = jnp.asarray(rng.uniform(-12, 12, (2, 7, 9, 2)).astype(np.float32))
+    flow = flow.at[0, 0, 0].set(jnp.asarray([0.5, 0.5]))
+    flow = flow.at[0, 0, 1].set(jnp.asarray([-30.0, 0.0]))
+    flow = flow.at[0, 1, 0].set(jnp.asarray([0.0, 30.0]))
+    ref = backward_warp_jnp(im, flow)
+    out = backward_warp_packed(im, flow)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-6, atol=1e-6)
+
+    # Gradients w.r.t. both operands must match too (the packed VJP is
+    # one 4C scatter + shift-adds instead of four C scatters).
+    g = jnp.asarray(rng.randn(*ref.shape).astype(np.float32))
+
+    def grads(f):
+        _, vjp = jax.vjp(f, im, flow)
+        return vjp(g)
+
+    gi_ref, gf_ref = grads(backward_warp_jnp)
+    gi, gf = grads(backward_warp_packed)
+    np.testing.assert_allclose(np.asarray(gi), np.asarray(gi_ref), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(gf), np.asarray(gf_ref), rtol=1e-5, atol=1e-6)

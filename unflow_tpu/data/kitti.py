@@ -51,10 +51,15 @@ class KITTIRaw(PairDataset):
         exclude_file: str | None = None,
         exclude: str = "auto",  # auto | off
         exclude_window: int = 20,
+        max_frame_gap: int = 1,
     ):
         super().__init__(data_dir)
         self.exclude_mode = exclude
         self.exclude_window = exclude_window
+        # Temporal augmentation (reference input_raw skip_frames [MED]):
+        # gap g in 1..max_frame_gap yields pairs (frame_i, frame_{i+g}),
+        # multiplying effective motion magnitudes in the training set.
+        self.max_frame_gap = max(1, int(max_frame_gap))
         self.exclude_substrings: list[str] = []
         self.exclude_scenes: list[tuple[str, int]] = []  # (drive, frame)
         if exclude_file:
@@ -127,10 +132,11 @@ class KITTIRaw(PairDataset):
         examples = []
         for image_dir in sorted(root.glob("**/image_02/data")):
             frames = sorted(image_dir.glob("*.png"))
-            for a, b in zip(frames, frames[1:]):
-                if excluded(a) or excluded(b):
-                    continue
-                examples.append(Example(im1=str(a), im2=str(b)))
+            for gap in range(1, self.max_frame_gap + 1):
+                for a, b in zip(frames, frames[gap:]):
+                    if excluded(a) or excluded(b):
+                        continue
+                    examples.append(Example(im1=str(a), im2=str(b)))
         if not examples:
             raise FileNotFoundError(f"no frame pairs under {root}")
         return examples
