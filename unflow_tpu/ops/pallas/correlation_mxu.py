@@ -66,6 +66,9 @@ def _dims(h: int, w: int, P: int, s: int):
     hp = _round_up(h, th)
     if (th + 2 * P) % s or (hp + 2 * P) % s or th % s:
         raise ValueError(f"unsupported geometry h={h} P={P} s={s}")
+    if (hp + 2 * P) % th:
+        # the f2-gradient kernel grids over the padded (hp + 2P) rows
+        raise ValueError(f"unsupported geometry h={h} P={P} s={s}")
     return d, wp, w2, w2p, th, hp
 
 
@@ -75,6 +78,22 @@ def supported(h: int, w: int, P: int, s: int) -> bool:
     except ValueError:
         return False
     return s in (1, 2)
+
+
+def _shift_rows_by_index(x: jax.Array, width_out: int) -> jax.Array:
+    """``out[..., k, c] = x[..., k, c - k]`` as a pure reshape.
+
+    x: (..., R, width_out + 1) with at least R-1 trailing zeros per row
+    (so the positions where ``c - k < 0``, which alias the previous
+    row's tail after reflattening, read zeros). Flattening rows of
+    width ``width_out + 1`` and re-slicing rows of width ``width_out``
+    moves row k's content right by exactly k lanes — one XLA copy, no
+    gather, no per-row roll.
+    """
+    *lead, r, x1 = x.shape
+    assert x1 == width_out + 1
+    flat = x.reshape(*lead, r * x1)
+    return flat[..., : r * width_out].reshape(*lead, r, width_out)
 
 
 def _phase_split_cols(x: jax.Array, s: int, wp: int) -> jax.Array:
@@ -193,6 +212,15 @@ def corr_fwd_mxu(
 def corr_bwd_f1_mxu(
     g: jax.Array, f2: jax.Array, P: int, s: int, inv_c: float | None = None
 ) -> jax.Array:
+    """df1 via in-kernel barrel-roll band build + one (Wp,N2)@(N2,C) matmul.
+
+    A pre-shifted-band variant (the f2 kernel's _shift_rows_by_index
+    trick) was tried and measured SLOWER here (17.6 vs 11.6 ms at the
+    production shape): the flat band is D*W2p wide, so precomputing it
+    in XLA writes a 377 MB intermediate and inflates the per-cell DMA,
+    costing more than the in-kernel roll it removes. The f2 gradient
+    keeps the trick because its pre-shift axis is only X~640 wide.
+    """
     b, h, w, c = f2.shape
     d, wp, w2, w2p, th, hp = _dims(h, w, P, s)
     n2 = d * w2p
@@ -267,6 +295,153 @@ def corr_bwd_f2_mxu(
     g: jax.Array, f1: jax.Array, P: int, s: int, inv_c: float | None = None
 ) -> jax.Array:
     """d f2[v,u,c] = (1/C) sum_{dy,dx} g[v-s*dy, u-s*dx] * f1[v-s*dy, u-s*dx, c].
+
+    v2: the per-output-column shift of the cotangent band is precomputed
+    in XLA (:func:`_shift_rows_by_index` over the displacement-channel
+    axis: R[k, c'] = g[k, c' - k], so the dy-band needed at output
+    position ``pos`` is the STATIC slice ``R[:, dy*D + pos]``). The
+    kernel builds the K-stacked band with D masked slice-stores and runs
+    ONE (D*Wp, W2p)^T x (D*Wp, C) matmul per (row, phase) — no
+    in-kernel rolls, no chunked accumulation.
+
+    Out-of-band positions of a slice (``pos - k`` outside ``[0, D)``)
+    would read the NEIGHBORING dy block's values (the channel axis is
+    packed), so each slice-store applies a static (k, pos) band mask.
+
+    Hazard note (verified empirically on v5e): the bf16 single-pass MXU
+    matmul reads its VMEM operand lazily, and Mosaic does NOT order the
+    next iteration's band stores against it — mid-loop outputs read
+    half-overwritten bands. The fix is a rotating band buffer plus an
+    explicit data dependency: iteration n's stores consume a dummy
+    scalar derived from iteration n-2's matmul result, so a store can
+    only clobber a buffer whose matmul has retired. f32 (3-pass
+    HIGHEST) materializes operands eagerly and never raced.
+    """
+    SER_DIST = 2  # stores wait on the matmul from this many iterations back
+    NBUF = SER_DIST + 1
+    b, h, w, c = f1.shape
+    d, wp, w2, w2p, th, hp = _dims(h, w, P, s)
+    dd = d * d
+    inv_c = (1.0 / c) if inv_c is None else inv_c
+    in_dtype = f1.dtype
+    h2 = hp + 2 * P  # padded output rows
+    whp = (th + 2 * P) // s  # window rows per parity plane
+    stage = _stage_dtype(f1)
+
+    # Shifted-channel cotangent. Each dy block is padded from d to an
+    # EVEN stride dpw: the kernel's in-register lane slices start at
+    # dy*dpw, and odd lane offsets on bf16 values silently corrupt the
+    # read (two bf16s pack per 32-bit lane word; verified empirically —
+    # odd-offset slices returned wrong data at d=21). X covers the
+    # deepest slice read ((d-1)*dpw + w2p) and guarantees the previous
+    # row's tail aliased by c' < k reads zeros (X + 1 - d*dpw >= wp).
+    dpw = d + (d % 2)
+    x_ch = _round_up((d - 1) * dpw + w2p, 128)
+    # The kernel merges (d, wps) into the matmul contraction axis with a
+    # value reshape; that is only a relabeling when the sublane extent
+    # wps is a multiple of the dtype's sublane tile (16 for bf16, 8 for
+    # f32) — otherwise Mosaic silently mis-repacks (observed for bf16 at
+    # wp=72). Pad the staged phase width accordingly.
+    wps = _round_up(wp, 16 if stage == jnp.bfloat16 else 8)
+    assert x_ch + 1 - d * dpw >= wps
+
+    # Prep order matters for cost: phase/parity-split and the channel
+    # shift run on the RAW h rows; the 4P row padding (which triples the
+    # row count at production geometry) is applied LAST so the heavy
+    # copies never touch the zero rows. Row parity is pad-invariant
+    # because s | 2P (2P/s = D-1).
+    rp = 2 * P // s  # per-parity-plane row padding
+
+    def prep(x):
+        x = jnp.pad(x, ((0, 0), (0, hp - h), (0, 0), (0, 0)))
+        x = _phase_split_cols(x, s, wps)  # (B, hp, s, Wps, cx)
+        return _row_parity_split(x, s)  # (B, s, hp/s, s, Wps, cx)
+
+    def pad_rows(x):
+        return jnp.pad(x, ((0, 0), (0, 0), (rp, rp), (0, 0), (0, 0), (0, 0)))
+
+    gs = prep(g.astype(stage))
+    if dpw != d:  # pad each dy block d -> dpw channels
+        gs = gs.reshape(*gs.shape[:-1], d, d)
+        gs = jnp.pad(gs, ((0, 0),) * (gs.ndim - 1) + ((0, dpw - d),))
+        gs = gs.reshape(*gs.shape[:-2], d * dpw)
+    gs = jnp.pad(gs, ((0, 0),) * 5 + ((0, x_ch + 1 - d * dpw),))
+    gs = pad_rows(_shift_rows_by_index(gs, x_ch))  # (B, s, rows, s, Wp, X)
+    f1s = pad_rows(prep(f1.astype(stage)))
+
+    n_base = th // s
+
+    def kernel(gp_ref, f1p_ref, out_ref, gwin, f1w, zz, sems):
+        bi, i = pl.program_id(0), pl.program_id(1)
+        cp0 = pltpu.make_async_copy(
+            gp_ref.at[bi, :, pl.ds(i * n_base, whp), :, :, :], gwin, sems.at[0]
+        )
+        cp1 = pltpu.make_async_copy(
+            f1p_ref.at[bi, :, pl.ds(i * n_base, whp), :, :, :], f1w, sems.at[1]
+        )
+        cp0.start()
+        cp1.start()
+        cp0.wait()
+        cp1.wait()
+        # Static band mask: slice position pos for column k is in-band
+        # iff pos - k in [0, D).
+        kk = lax.broadcasted_iota(jnp.int32, (wps, w2p), 0)
+        pos = lax.broadcasted_iota(jnp.int32, (wps, w2p), 1)
+        band = (pos >= kk) & (pos - kk < d)
+        deps = [jnp.zeros((), jnp.float32)] * SER_DIST
+        for t in range(th):
+            par, base = t % s, t // s
+            for p in range(s):
+                n = t * s + p
+                buf = (n % NBUF) * d * wps
+                # The dep chain orders these stores after the matmul
+                # from SER_DIST iterations back (see hazard note).
+                zero = jnp.zeros((wps, w2p), stage) + (deps[0] * 0).astype(stage)
+                # K-stacked band: window row base+j holds dy = D-1-j.
+                for j in range(d):
+                    dy = d - 1 - j
+                    sl = gwin[par, base + j, p][:, dy * dpw : dy * dpw + w2p]
+                    zz[pl.ds(buf + j * wps, wps), :] = jnp.where(band, sl, zero)
+                f1stack = f1w[par, base : base + d, p].reshape(d * wps, c)
+                df2 = lax.dot_general(
+                    zz[pl.ds(buf, d * wps), :], f1stack, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=_matmul_precision(f1stack.dtype),
+                )  # (W2p, C)
+                out_ref[0, t, p] = df2 * inv_c
+                deps = deps[1:] + [df2[0, 0]]
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(b, h2 // th),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((1, th, s, w2p, c), lambda bi, i: (bi, i, 0, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, h2, s, w2p, c), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((s, whp, s, wps, x_ch), stage),
+            pltpu.VMEM((s, whp, s, wps, c), stage),
+            pltpu.VMEM((NBUF * d * wps, w2p), stage),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+        interpret=_INTERPRET,
+    )(gs, f1s)
+
+    # Crop rows [P, P+h); cols: global u = s*j + p in [P, P+w) -> j from P//s.
+    j0 = P // s
+    out = out[:, P : P + h, :, j0 : j0 + wp, :]
+    return _merge_phase(out, h, w).astype(in_dtype)
+
+
+def corr_bwd_f2_mxu_roll(
+    g: jax.Array, f1: jax.Array, P: int, s: int, inv_c: float | None = None
+) -> jax.Array:
+    """v1 (in-kernel chunked barrel-roll band build) — kept for comparison.
 
     Output-stationary over the padded (h+2P) row extent. Per output row
     and phase, all dy contributions stack into the contraction axis:
