@@ -27,9 +27,11 @@ runs on the MXU:
 Measured (B=4, 40x144, C=256, bf16): forward 8.0 -> 4.9 ms vs the VPU
 kernel; numerics match the jnp reference to f32-reassociation noise.
 
-The f2 gradient currently stays on the VPU path (see correlation.py);
-its MXU variant needs per-output-row K-stacked band transposes and is
-left as a follow-up.
+All three passes run on the MXU: forward and the f1 gradient build
+their bands in-kernel with barrel rolls; the f2 gradient precomputes
+the per-column shift in XLA (:func:`_shift_rows_by_index`) and reduces
+the kernel to masked slice-stores + one (D*Wp, W2p)^T x (D*Wp, C)
+matmul per row/phase (B=8 production shape: 15.9 -> 6.2 ms).
 """
 
 from __future__ import annotations
