@@ -15,23 +15,21 @@ runs on the MXU:
     ``A (Wp, C) @ B2^T -> M (Wp, D*W2p)`` computes every (dy, dx)
     product sum — the needed outputs are the diagonals
     ``M[k, dy*W2p + k + dx]``.
-  * **Barrel-shift band extraction.** Rolling row ``k`` of ``M`` left
-    by ``k`` lanes aligns all diagonals at fixed offsets; a variable
-    per-row roll is 7 masked constant rolls (barrel shifter over the
-    bits of ``k``). The flat layout guarantees no wraparound touches a
-    needed position (``Wp + D - 2 < W2p``).
-  * The f1 gradient is the same machinery inverted: scatter the
-    cotangent into the flat band (21 static stores), barrel-roll
-    *right* by ``k``, then one ``(Wp, D*W2p) @ (D*W2p, C)`` matmul.
+  * **Band extraction / band build.** The needed outputs sit on
+    per-row diagonals ``M[k, dy*W2p + k + dx]``. The forward kernel
+    aligns the low 3 bits of ``k`` with a masked barrel roll and folds
+    the residual per-8-row-block shift into static lane offsets of the
+    extraction stores. Both gradients avoid in-kernel rolls entirely:
+    the cotangent's per-column shift is precomputed in XLA on the
+    compact channel layout (:func:`_shifted_cotangent`, one pad +
+    reflatten reshape shared by both), so the kernels are masked
+    slice-stores plus ONE large matmul per (row, phase).
 
-Measured (B=4, 40x144, C=256, bf16): forward 8.0 -> 4.9 ms vs the VPU
-kernel; numerics match the jnp reference to f32-reassociation noise.
-
-All three passes run on the MXU: forward and the f1 gradient build
-their bands in-kernel with barrel rolls; the f2 gradient precomputes
-the per-column shift in XLA (:func:`_shift_rows_by_index`) and reduces
-the kernel to masked slice-stores + one (D*Wp, W2p)^T x (D*Wp, C)
-matmul per row/phase (B=8 production shape: 15.9 -> 6.2 ms).
+Measured at the production shape (40x144, C=256, bf16), standalone at
+the train step's effective batch 16: forward 9.9 -> 7.5 ms, f1
+gradient 11.1 -> 8.8 ms (2.3 ms in-step, where the cotangent prep is
+shared with the f2 gradient), f2 gradient 15.9 -> 6.2 ms at batch 8.
+Numerics match the jnp reference to bf16 noise.
 """
 
 from __future__ import annotations
@@ -98,6 +96,41 @@ def _shift_rows_by_index(x: jax.Array, width_out: int) -> jax.Array:
     return flat[..., : r * width_out].reshape(*lead, r, width_out)
 
 
+def _unshift_rows_by_index(x: jax.Array, width: int) -> jax.Array:
+    """``out[..., k, c] = x[..., k, c + k]`` as a pure reshape.
+
+    Inverse of :func:`_shift_rows_by_index`: flatten rows of ``width``,
+    pad R trailing elements, re-slice rows of ``width + 1`` — row k's
+    view starts k elements deeper. Positions ``c + k >= width`` alias
+    the next row's head; callers must only read below that.
+    """
+    *lead, r, win = x.shape
+    assert win == width
+    flat = x.reshape(*lead, r * win)
+    flat = jnp.pad(flat, ((0, 0),) * len(lead) + ((0, r),))
+    return flat.reshape(*lead, r, win + 1)[..., :win]
+
+
+def _shifted_cotangent(
+    g: jax.Array, s: int, h: int, hp: int, wps: int, d: int, dpw: int, x_ch: int
+) -> jax.Array:
+    """Phase/parity-split cotangent with per-column channel shift.
+
+    Returns (B, s, hp/s, s, Wps, X) with R[k, c'] = g2[k, c' - k], where
+    g2 packs each dy block at EVEN stride dpw. Shared by the f1 and f2
+    gradient kernels (identical prep -> XLA CSEs one copy per step).
+    """
+    gs = jnp.pad(g, ((0, 0), (0, hp - h), (0, 0), (0, 0)))
+    gs = _phase_split_cols(gs, s, wps)
+    gs = _row_parity_split(gs, s)  # (B, s, hp/s, s, Wps, dd)
+    if dpw != d:  # pad each dy block d -> dpw channels
+        gs = gs.reshape(*gs.shape[:-1], d, d)
+        gs = jnp.pad(gs, ((0, 0),) * (gs.ndim - 1) + ((0, dpw - d),))
+        gs = gs.reshape(*gs.shape[:-2], d * dpw)
+    gs = jnp.pad(gs, ((0, 0),) * 5 + ((0, x_ch + 1 - d * dpw),))
+    return _shift_rows_by_index(gs, x_ch)
+
+
 def _phase_split_cols(x: jax.Array, s: int, wp: int) -> jax.Array:
     """(B, R, W', C) -> (B, R, s, Wp, C): column x = s*k + p -> [p, k]."""
     b, r, wpad, c = x.shape
@@ -149,13 +182,29 @@ def _merge_phase(x: jax.Array, h: int, w: int):
 def corr_fwd_mxu(
     f1: jax.Array, f2: jax.Array, P: int, s: int, inv_c: float | None = None
 ) -> jax.Array:
+    """Banded matmul + two-level in-kernel diagonal extraction.
+
+    Extraction options measured at the production shape (B=16, 40x144,
+    C=256, bf16):
+      * v1 full 7-step barrel roll per (row, phase): 9.9 ms.
+      * matmul-only kernel + XLA-side unshift (pad+reflatten reshape,
+        mirroring the gradients' pre-shift trick): kernel drops to 5.7
+        ms but the XLA stride-change relayout costs 10.6 ms and a lane
+        gather 822 ms — both dead ends; the gradients' trick only works
+        there because the shift happens on the narrow (X~640) compact
+        layout BEFORE the heavy operand is formed.
+      * this version: align the low 3 bits of k with a 3-step barrel
+        (the only per-row-varying part), then the high bits with 9
+        STATIC block rolls (one op each, no select): ~9 value passes
+        over the (Wp, N2) product instead of ~15.
+    """
     b, h, w, c = f1.shape
     d, wp, w2, w2p, th, hp = _dims(h, w, P, s)
     n2 = d * w2p
     whp = (th + 2 * P) // s  # window rows per parity plane
-    nbits = max(1, (wp - 1).bit_length())
     inv_c = (1.0 / c) if inv_c is None else inv_c
     in_dtype = f1.dtype
+    nblk = -(-wp // 8)  # 8-row blocks share one static high-bit roll
 
     f1s = _prep_phase(f1.astype(_stage_dtype(f1)), s, hp, wp)
     f2s = _prep_f2(f2, P, s, hp, wp, w2p)
@@ -178,14 +227,22 @@ def corr_fwd_mxu(
                     preferred_element_type=jnp.float32,
                     precision=_matmul_precision(a.dtype),
                 )  # (Wp, N2)
-                r = m
-                for bit in range(nbits):
+                r = m * inv_c
+                for bit in range(3):  # align k mod 8
                     rolled = pltpu.roll(r, n2 - (1 << bit), axis=1)
                     r = jnp.where(((kidx >> bit) & 1) == 1, rolled, r)
-                for dyi in range(d):
-                    out_ref[0, t, p, :, dyi * d : (dyi + 1) * d] = (
-                        r[:, dyi * w2p : dyi * w2p + d] * inv_c
-                    )
+                # After the 3-bit barrel, r[k, c] = m[k, c + (k mod 8)];
+                # the residual per-8-row-block shift is a STATIC lane
+                # offset of the extraction load (Mosaic rejects the
+                # concat-of-rolled-blocks alternative: "offset mismatch
+                # on non-concat dimension").
+                for kb in range(nblk):
+                    blk = r[kb * 8 : (kb + 1) * 8]
+                    for dyi in range(d):
+                        off = dyi * w2p + 8 * kb
+                        out_ref[
+                            0, t, p, kb * 8 : (kb + 1) * 8, dyi * d : (dyi + 1) * d
+                        ] = blk[:, off : off + d]
 
     out = pl.pallas_call(
         kernel,
@@ -200,6 +257,11 @@ def corr_fwd_mxu(
             pltpu.VMEM((s, whp, s, w2p, c), f2s.dtype),
             pltpu.SemaphoreType.DMA(()),
         ],
+        # The f32 (HIGHEST-precision) path's per-block value chains need
+        # ~32 MB of scoped VMEM; v5e has headroom over the 16 MB default.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
         interpret=_INTERPRET,
     )(f1s, f2s)
 
@@ -214,15 +276,110 @@ def corr_fwd_mxu(
 def corr_bwd_f1_mxu(
     g: jax.Array, f2: jax.Array, P: int, s: int, inv_c: float | None = None
 ) -> jax.Array:
-    """df1 via in-kernel barrel-roll band build + one (Wp,N2)@(N2,C) matmul.
+    """df1[v,u,c] = (1/C) sum_{dy,dx} g[v, u, (dy,dx)] * f2[v+s*dy', u+s*dx', c].
 
-    A pre-shifted-band variant (the f2 kernel's _shift_rows_by_index
-    trick) was tried and measured SLOWER here (17.6 vs 11.6 ms at the
-    production shape): the flat band is D*W2p wide, so precomputing it
-    in XLA writes a 377 MB intermediate and inflates the per-cell DMA,
-    costing more than the in-kernel roll it removes. The f2 gradient
-    keeps the trick because its pre-shift axis is only X~640 wide.
+    v2, same machinery as :func:`corr_bwd_f2_mxu`: the cotangent's
+    per-output-column band shift is precomputed in XLA on the COMPACT
+    (X~640-lane) channel layout via :func:`_shifted_cotangent` — shared
+    with the f2 gradient, so one step pays the prep once — and the
+    kernel builds the (Wps, D*W2p) band with D masked lane-slice stores
+    and runs ONE (Wps, N2) @ (N2, C) matmul per (row, phase): no
+    in-kernel rolls and no f32 cotangent staging (the v1 roll kernel,
+    kept below, needed f32 for Mosaic's 32-bit-only rotate and measured
+    10.9 ms vs 4-5 ms here at the production shape).
+
+    NOTE: an earlier experiment pre-shifted the FLAT D*W2p-wide band in
+    XLA and was slower (377 MB intermediate); the compact-layout shift
+    avoids that blowup.
+
+    Hazard + alignment notes: see :func:`corr_bwd_f2_mxu` — the same
+    rotating band buffer + dep-chain ordering and the same sublane/lane
+    tile rules apply.
     """
+    SER_DIST = 2  # stores wait on the matmul from this many iterations back
+    NBUF = SER_DIST + 1
+    b, h, w, c = f2.shape
+    d, wp, w2, w2p, th, hp = _dims(h, w, P, s)
+    n2 = d * w2p
+    whp = (th + 2 * P) // s
+    inv_c = (1.0 / c) if inv_c is None else inv_c
+    in_dtype = f2.dtype
+    stage = _stage_dtype(f2)
+    dpw = d + (d % 2)
+    x_ch = _round_up((d - 1) * dpw + w2p, 128)
+    wps = _round_up(wp, 16 if stage == jnp.bfloat16 else 8)
+    assert x_ch + 1 - d * dpw >= wps
+
+    gs = _shifted_cotangent(g.astype(stage), s, h, hp, wps, d, dpw, x_ch)
+    f2s = _prep_f2(f2, P, s, hp, wp, w2p)
+    nb = th // s
+
+    def kernel(gp_ref, f2p_ref, out_ref, gwin, f2w, zz, sems):
+        bi, i = pl.program_id(0), pl.program_id(1)
+        cp0 = pltpu.make_async_copy(
+            gp_ref.at[bi, :, pl.ds(i * nb, nb), :, :, :], gwin, sems.at[0]
+        )
+        cp1 = pltpu.make_async_copy(
+            f2p_ref.at[bi, :, pl.ds(i * nb, whp), :, :, :], f2w, sems.at[1]
+        )
+        cp0.start()
+        cp1.start()
+        cp0.wait()
+        cp1.wait()
+        kk = lax.broadcasted_iota(jnp.int32, (wps, w2p), 0)
+        pos = lax.broadcasted_iota(jnp.int32, (wps, w2p), 1)
+        band = (pos >= kk) & (pos - kk < d)
+        deps = [jnp.zeros((), jnp.float32)] * SER_DIST
+        for t in range(th):
+            par, base = t % s, t // s
+            for p in range(s):
+                n = t * s + p
+                buf = (n % NBUF) * wps
+                zero = jnp.zeros((wps, w2p), stage) + (deps[0] * 0).astype(stage)
+                grow = gwin[par, base, p]  # (Wps, X)
+                for dyi in range(d):
+                    sl = grow[:, dyi * dpw : dyi * dpw + w2p]
+                    zz[pl.ds(buf, wps), dyi * w2p : (dyi + 1) * w2p] = jnp.where(
+                        band, sl, zero
+                    )
+                f2stack = f2w[par, base : base + d, p].reshape(n2, c)
+                df1 = lax.dot_general(
+                    zz[pl.ds(buf, wps), :], f2stack, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=_matmul_precision(f2stack.dtype),
+                )  # (Wps, C)
+                out_ref[0, t, p] = df1 * inv_c
+                deps = deps[1:] + [df1[0, 0]]
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(b, hp // th),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((1, th, s, wps, c), lambda bi, i: (bi, i, 0, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, hp, s, wps, c), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((s, nb, s, wps, x_ch), stage),
+            pltpu.VMEM((s, whp, s, w2p, c), stage),
+            pltpu.VMEM((NBUF * wps, n2), stage),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+        interpret=_INTERPRET,
+    )(gs, f2s)
+
+    out = out[:, :, :, :wp, :]
+    return _merge_phase(out, h, w).astype(in_dtype)
+
+
+def corr_bwd_f1_mxu_roll(
+    g: jax.Array, f2: jax.Array, P: int, s: int, inv_c: float | None = None
+) -> jax.Array:
+    """v1 (in-kernel barrel-roll band build) — kept for comparison."""
     b, h, w, c = f2.shape
     d, wp, w2, w2p, th, hp = _dims(h, w, P, s)
     n2 = d * w2p
@@ -362,13 +519,7 @@ def corr_bwd_f2_mxu(
     def pad_rows(x):
         return jnp.pad(x, ((0, 0), (0, 0), (rp, rp), (0, 0), (0, 0), (0, 0)))
 
-    gs = prep(g.astype(stage))
-    if dpw != d:  # pad each dy block d -> dpw channels
-        gs = gs.reshape(*gs.shape[:-1], d, d)
-        gs = jnp.pad(gs, ((0, 0),) * (gs.ndim - 1) + ((0, dpw - d),))
-        gs = gs.reshape(*gs.shape[:-2], d * dpw)
-    gs = jnp.pad(gs, ((0, 0),) * 5 + ((0, x_ch + 1 - d * dpw),))
-    gs = pad_rows(_shift_rows_by_index(gs, x_ch))  # (B, s, rows, s, Wp, X)
+    gs = pad_rows(_shifted_cotangent(g.astype(stage), s, h, hp, wps, d, dpw, x_ch))
     f1s = pad_rows(prep(f1.astype(stage)))
 
     n_base = th // s

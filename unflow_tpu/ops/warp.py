@@ -98,14 +98,27 @@ def backward_warp_packed(im: jax.Array, flow: jax.Array) -> jax.Array:
     (floor < 0) the fractional weight is zeroed so the mix collapses to
     the clamped base tap, as independent clamping would produce.
     """
-    b, h, w, c = im.shape
-    x, y = _sample_coords(flow)
+    coords = _packed_coords(flow, im.dtype)
+    return _packed_gather(im, *coords)
 
+
+def _packed_coords(flow: jax.Array, dtype):
+    """Shared gather coordinates + bilinear weights for a flow field."""
+    b, h, w, _ = flow.shape
+    x, y = _sample_coords(flow)
     x0 = jnp.floor(x)
     y0 = jnp.floor(y)
-    wx = jnp.where(x0 < 0, 0.0, x - x0).astype(im.dtype)[..., None]
-    wy = jnp.where(y0 < 0, 0.0, y - y0).astype(im.dtype)[..., None]
+    wx = jnp.where(x0 < 0, 0.0, x - x0).astype(dtype)[..., None]
+    wy = jnp.where(y0 < 0, 0.0, y - y0).astype(dtype)[..., None]
+    ix = jnp.clip(x0, 0, w - 1).astype(jnp.int32)
+    iy = jnp.clip(y0, 0, h - 1).astype(jnp.int32)
+    idx = (iy * w + ix).reshape(b, h * w, 1)
+    return idx, wx, wy
 
+
+def _packed_gather(im: jax.Array, idx: jax.Array, wx: jax.Array, wy: jax.Array):
+    """One 4C-packed gather + bilinear mix at precomputed coords."""
+    b, h, w, c = im.shape
     # (B, H, W, 4C): [im, im shifted -x, im shifted -y, im shifted -x-y],
     # edge-extended so the +1 taps clamp at the right/bottom border.
     shx = jnp.concatenate([im[:, :, 1:], im[:, :, -1:]], axis=2)
@@ -113,9 +126,6 @@ def backward_warp_packed(im: jax.Array, flow: jax.Array) -> jax.Array:
     shxy = jnp.concatenate([shx[:, 1:], shx[:, -1:]], axis=1)
     packed = jnp.concatenate([im, shx, shy, shxy], axis=-1)
 
-    ix = jnp.clip(x0, 0, w - 1).astype(jnp.int32)
-    iy = jnp.clip(y0, 0, h - 1).astype(jnp.int32)
-    idx = (iy * w + ix).reshape(b, h * w, 1)
     g = jnp.take_along_axis(packed.reshape(b, h * w, 4 * c), idx, axis=1)
     v00, v01, v10, v11 = [
         g[..., i * c : (i + 1) * c].reshape(b, h, w, c) for i in range(4)
