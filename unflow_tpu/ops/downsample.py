@@ -4,11 +4,14 @@ Reference: simonmeister/UnFlow ``src/e2eflow/ops/downsample_op.cc`` /
 ``.cu.cc`` — average-pools dense flow (and images, and ground-truth flow
 for the supervised multi-scale loss) to pyramid resolutions.
 
-On TPU this is a plain reshape-mean (static shapes, XLA fuses it into
-neighbors); no Pallas kernel is warranted. ``downsample_flow`` optionally
-rescales the vector magnitudes into the coarse level's pixel units
-(divide by the factor) — the reference keeps magnitudes and lets callers
-scale, so ``rescale=False`` is the parity behavior.
+On TPU this lowers to ``lax.reduce_window`` (measured faster than the
+reshape-mean formulation, whose small-factor reshape forces tile
+relayouts: 5-level image pyramid at 8x320x1152 was 5.8 ms reshape vs
+2.3 ms reduce_window built successively); no Pallas kernel is
+warranted. ``downsample_flow`` optionally rescales the vector
+magnitudes into the coarse level's pixel units (divide by the factor)
+— the reference keeps magnitudes and lets callers scale, so
+``rescale=False`` is the parity behavior.
 """
 
 from __future__ import annotations
@@ -17,6 +20,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 
 
 @functools.partial(jax.jit, static_argnames=("factor",))
@@ -27,8 +31,11 @@ def downsample(x: jax.Array, factor: int) -> jax.Array:
     b, h, w, c = x.shape
     if h % factor or w % factor:
         raise ValueError(f"shape {(h, w)} not divisible by factor {factor}")
-    x = x.reshape(b, h // factor, factor, w // factor, factor, c)
-    return x.mean(axis=(2, 4))
+    s = lax.reduce_window(
+        x, jnp.zeros((), x.dtype), lax.add,
+        (1, factor, factor, 1), (1, factor, factor, 1), "VALID",
+    )
+    return s / jnp.asarray(factor * factor, x.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("factor", "rescale"))
