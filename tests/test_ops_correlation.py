@@ -122,3 +122,34 @@ def test_correlation_pallas_bf16_stride1(rng):
     )
     scale = float(jnp.max(jnp.abs(ref)))
     assert float(jnp.max(jnp.abs(ref - got.astype(jnp.float32)))) / scale < 0.02
+
+
+def test_shift_unshift_rows_by_index(rng):
+    """The pad+reflatten shift helpers are exact row-indexed shifts."""
+    from unflow_tpu.ops.pallas.correlation_mxu import (
+        _shift_rows_by_index,
+        _unshift_rows_by_index,
+    )
+
+    r, width = 16, 40
+    x = jnp.asarray(rng.standard_normal((2, r, width + 1)).astype(np.float32))
+    # shift requires >= r-1 trailing zeros per row for the alias guarantee
+    x = x.at[..., width - r :].set(0.0)
+    shifted = _shift_rows_by_index(x, width)
+    for k in range(r):
+        row = np.asarray(x[0, k, : width + 1])
+        exp = np.zeros(width, np.float32)
+        exp[k:] = row[: width - k]
+        np.testing.assert_allclose(np.asarray(shifted[0, k]), exp, rtol=0, atol=0)
+
+    y = jnp.asarray(rng.standard_normal((2, r, width)).astype(np.float32))
+    unshifted = _unshift_rows_by_index(y, width)
+    for k in range(r):
+        # valid below the alias point c + k < width
+        valid = width - k
+        np.testing.assert_allclose(
+            np.asarray(unshifted[0, k, :valid]),
+            np.asarray(y[0, k, k : k + valid]),
+            rtol=0,
+            atol=0,
+        )
