@@ -523,9 +523,14 @@ def corr_bwd_f2_mxu(
     f1s = pad_rows(prep(f1.astype(stage)))
 
     n_base = th // s
+    # Only output rows [P, P+h) survive the crop below; blocks fully in
+    # the padded margins (9 of 15 at the production geometry) would
+    # compute discarded rows. Grid only the covering block range.
+    blk_lo = P // th
+    blk_hi = -(-(P + h) // th)
 
     def kernel(gp_ref, f1p_ref, out_ref, gwin, f1w, zz, sems):
-        bi, i = pl.program_id(0), pl.program_id(1)
+        bi, i = pl.program_id(0), pl.program_id(1) + blk_lo
         cp0 = pltpu.make_async_copy(
             gp_ref.at[bi, :, pl.ds(i * n_base, whp), :, :, :], gwin, sems.at[0]
         )
@@ -566,13 +571,15 @@ def corr_bwd_f2_mxu(
 
     out = pl.pallas_call(
         kernel,
-        grid=(b, h2 // th),
+        grid=(b, blk_hi - blk_lo),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec((1, th, s, w2p, c), lambda bi, i: (bi, i, 0, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((b, h2, s, w2p, c), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct(
+            (b, (blk_hi - blk_lo) * th, s, w2p, c), jnp.float32
+        ),
         scratch_shapes=[
             pltpu.VMEM((s, whp, s, wps, x_ch), stage),
             pltpu.VMEM((s, whp, s, wps, c), stage),
@@ -585,9 +592,11 @@ def corr_bwd_f2_mxu(
         interpret=_INTERPRET,
     )(gs, f1s)
 
-    # Crop rows [P, P+h); cols: global u = s*j + p in [P, P+w) -> j from P//s.
+    # Crop rows [P, P+h) of the padded extent (local to the gridded
+    # blocks); cols: global u = s*j + p in [P, P+w) -> j from P//s.
+    r0 = P - blk_lo * th
     j0 = P // s
-    out = out[:, P : P + h, :, j0 : j0 + wp, :]
+    out = out[:, r0 : r0 + h, :, j0 : j0 + wp, :]
     return _merge_phase(out, h, w).astype(in_dtype)
 
 
@@ -686,13 +695,15 @@ def corr_bwd_f2_mxu_roll(
 
     out = pl.pallas_call(
         kernel,
-        grid=(b, h2 // th),
+        grid=(b, blk_hi - blk_lo),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec((1, th, s, w2p, c), lambda bi, i: (bi, i, 0, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((b, h2, s, w2p, c), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct(
+            (b, (blk_hi - blk_lo) * th, s, w2p, c), jnp.float32
+        ),
         scratch_shapes=[
             pltpu.VMEM((s, whp, s, wp, ddp), stage),
             pltpu.VMEM((s, f1rows, s, wp, c), stage),
