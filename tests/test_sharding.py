@@ -91,6 +91,44 @@ def test_spatial_sharded_train_step_matches_replicated(tmp_path):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=2.5 * lr)
 
 
+@pytest.mark.parametrize(
+    "spec,occ",
+    [
+        ("CS", "fb"),  # flagship cascade path (fw/bw interleave, correlation)
+        ("S", "disocc"),  # forward-warp scatter path (cheaper compile)
+    ],
+)
+def test_train_step_hlo_is_collective_clean(spec, occ):
+    """The compiled 8-device DP train step must contain ZERO resharding
+    collectives (all-to-all / collective-permute) and only a couple of
+    gradient all-reduces.
+
+    Regression guard for two shipped bugs (VERDICT r2 items 1-2, 5):
+    (a) batching fw/bw passes via ``concatenate([n1, n2], axis=0)`` along
+    the SHARDED batch axis lowered to 40 all-to-alls + 618
+    collective-permutes — fixed by the shard-local (B, 2) interleave in
+    train/trainer.py; (b) forward_warp's ``jnp.arange(b)``-indexed
+    scatter lowered to 32 all-reduces + an all-gather under a sharded
+    batch — fixed by the vmapped per-example scatter in ops/warp.py.
+    Beyond correctness-of-intent, the resharding volume was the direct
+    cause of AllToAll rendezvous timeouts on loaded hosts.
+    """
+    from unflow_tpu.utils.hlo import (
+        RESHARDING_OPS,
+        collective_counts,
+        lower_train_step,
+    )
+
+    compiled = lower_train_step(8, spec=spec, mask_occlusion=occ)
+    counts = collective_counts(compiled.as_text())
+    bad = {k: v for k, v in counts.items() if k in RESHARDING_OPS}
+    assert not bad, f"GSPMD resharding in {spec}/{occ} train step: {counts}"
+    # Gradient sync fuses into ~1 tuple all-reduce; allow a little slack
+    # for XLA version drift but catch per-op scatter/loss all-reduces.
+    assert counts.get("all-reduce", 0) <= 4, counts
+    assert counts.get("all-gather", 0) == 0, counts
+
+
 def test_mesh_validation():
     with pytest.raises(ValueError):
         create_mesh(8, spatial=3)  # 8 % 3 != 0

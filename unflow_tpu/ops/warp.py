@@ -149,6 +149,17 @@ def _splat(values: jax.Array, flow: jax.Array) -> jax.Array:
     wx = (x - x0).astype(values.dtype)
     wy = (y - y0).astype(values.dtype)
 
+    # Per-example scatter under vmap: the batch dim becomes an explicit
+    # scatter batching dim, which GSPMD keeps shard-local under a sharded
+    # batch axis. (Indexing the batch with a global jnp.arange(b) instead
+    # lowers to all-reduces/all-gathers in the 8-device step — a purely
+    # local op paying cross-device traffic; see tests/test_sharding.py's
+    # HLO-cleanliness assertions.)
+    def splat_one(vals_ex, idx_ex):
+        return jnp.zeros((h * w, c), values.dtype).at[idx_ex].add(
+            vals_ex, mode="drop"
+        )
+
     out = jnp.zeros((b, h * w, c), values.dtype)
     for iy, yw in ((y0, 1.0 - wy), (y0 + 1, wy)):
         for ix, xw in ((x0, 1.0 - wx), (x0 + 1, wx)):
@@ -156,9 +167,9 @@ def _splat(values: jax.Array, flow: jax.Array) -> jax.Array:
             # OOB -> index -1, dropped by scatter mode='drop'.
             idx = jnp.where(inb, iy.astype(jnp.int32) * w + ix.astype(jnp.int32), -1)
             contrib = values * (xw * yw * inb.astype(values.dtype))[..., None]
-            out = out.at[
-                jnp.arange(b)[:, None], idx.reshape(b, h * w)
-            ].add(contrib.reshape(b, h * w, c), mode="drop")
+            out = out + jax.vmap(splat_one)(
+                contrib.reshape(b, h * w, c), idx.reshape(b, h * w)
+            )
     return out.reshape(b, h, w, c)
 
 

@@ -142,14 +142,26 @@ def make_train_step(
             # halves the kernel-launch count and runs the correlation /
             # conv kernels at a fuller batch (reference runs the net twice
             # with shared variables — core/flownet.py backward_flow=True).
+            # The fw/bw pair of each example is interleaved via a (B, 2)
+            # stack + merge so the doubled batch axis stays SHARD-LOCAL
+            # under a P("data") batch sharding: the sharded dim is the
+            # major axis of the merged group, so GSPMD inserts no
+            # resharding. (A plain concat along the sharded axis lowers
+            # to all-to-alls + collective-permutes; tests/test_sharding.py
+            # asserts the compiled step stays all-reduce-only.)
             nb = n1.shape[0]
+
+            def interleave(a, b):
+                return jnp.stack([a, b], axis=1).reshape((2 * nb,) + a.shape[1:])
+
+            def deinterleave(f, i):
+                return f.reshape((nb, 2) + f.shape[1:])[:, i]
+
             stages_both = model.apply(
-                variables,
-                jnp.concatenate([n1, n2], axis=0),
-                jnp.concatenate([n2, n1], axis=0),
+                variables, interleave(n1, n2), interleave(n2, n1)
             )
-            stages_fw = [[f[:nb] for f in stage] for stage in stages_both]
-            stages_bw = [[f[nb:] for f in stage] for stage in stages_both]
+            stages_fw = [[deinterleave(f, 0) for f in stage] for stage in stages_both]
+            stages_bw = [[deinterleave(f, 1) for f in stage] for stage in stages_both]
             stage_ids = (
                 range(len(stages_fw)) if t.train_all else [len(stages_fw) - 1]
             )
