@@ -1,0 +1,93 @@
+"""On-hardware MXU correlation parity (real TPU, subprocess).
+
+The CPU suite runs the Pallas kernels through the interpreter, where
+Mosaic scheduling hazards cannot manifest. The MXU gradient kernels
+(`ops/pallas/correlation_mxu.py`) order their rotating band-buffer
+stores against the lazy matmuls with a value dependency
+(``deps[0] * 0``); if a toolchain update ever constant-folds that away,
+the store-vs-matmul race silently corrupts bf16 gradients (ADVICE r2).
+This test runs fwd + BOTH grads on the actual chip against the jnp
+reference so a re-opened race fails the suite instead of training.
+
+Runs in a fresh interpreter because conftest.py pins this process to
+CPU; skips (not fails) when no TPU is attached.
+"""
+
+import os
+import subprocess
+import sys
+
+import pytest
+
+_PROBE = r"""
+import sys
+import jax
+try:
+    tpus = [d for d in jax.devices() if "cpu" not in d.platform.lower()]
+except Exception:
+    tpus = []
+if not tpus:
+    print("NO_TPU")
+    sys.exit(0)
+
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, {repo!r})
+from unflow_tpu.ops.correlation import correlation_jnp
+from unflow_tpu.ops.pallas.correlation import correlation_pallas
+
+rng = np.random.RandomState(0)
+# Production-flavored geometry: stride-2 window (FlowNetC uses P=20,s=2;
+# P=4 keeps compile fast while exercising the same banded-matmul path),
+# C=128 so the bf16 MXU kernels run unchunked.
+f1 = jnp.asarray(rng.randn(1, 16, 32, 128).astype(np.float32))
+f2 = jnp.asarray(rng.randn(1, 16, 32, 128).astype(np.float32))
+g = jnp.asarray(rng.randn(1, 16, 32, 25).astype(np.float32))
+
+ref_out = correlation_jnp(f1, f2, 4, 2)
+ref_g = jax.grad(
+    lambda a, b: jnp.sum(correlation_jnp(a, b, 4, 2) * g), argnums=(0, 1)
+)(f1, f2)
+
+b1, b2 = f1.astype(jnp.bfloat16), f2.astype(jnp.bfloat16)
+got_out = correlation_pallas(b1, b2, 4, 2)
+got_g = jax.grad(
+    lambda a, b: jnp.sum(correlation_pallas(a, b, 4, 2).astype(jnp.float32) * g),
+    argnums=(0, 1),
+)(b1, b2)
+
+def relerr(r, t):
+    return float(jnp.max(jnp.abs(r - t.astype(jnp.float32)))) / float(
+        jnp.max(jnp.abs(r))
+    )
+
+errs = [relerr(ref_out, got_out), relerr(ref_g[0], got_g[0]), relerr(ref_g[1], got_g[1])]
+print("ERRS", errs)
+assert all(e < 0.02 for e in errs), errs
+print("TPU_PARITY_OK")
+"""
+
+
+def test_mxu_correlation_parity_on_tpu():
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    # Undo the conftest's virtual-CPU-mesh flag for the child; let the
+    # container's default (axon TPU) backend win there.
+    flags = env.get("XLA_FLAGS", "").replace(
+        "--xla_force_host_platform_device_count=8", ""
+    )
+    env["XLA_FLAGS"] = flags.strip()
+    env.pop("JAX_PLATFORMS", None)
+    proc = subprocess.run(
+        [sys.executable, "-c", _PROBE.format(repo=repo)],
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=540,
+    )
+    out = proc.stdout
+    if "NO_TPU" in out:
+        pytest.skip("no TPU attached")
+    assert proc.returncode == 0, f"stdout:\n{out}\nstderr:\n{proc.stderr[-3000:]}"
+    assert "TPU_PARITY_OK" in out, out

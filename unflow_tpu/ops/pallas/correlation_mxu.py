@@ -376,75 +376,6 @@ def corr_bwd_f1_mxu(
     return _merge_phase(out, h, w).astype(in_dtype)
 
 
-def corr_bwd_f1_mxu_roll(
-    g: jax.Array, f2: jax.Array, P: int, s: int, inv_c: float | None = None
-) -> jax.Array:
-    """v1 (in-kernel barrel-roll band build) — kept for comparison."""
-    b, h, w, c = f2.shape
-    d, wp, w2, w2p, th, hp = _dims(h, w, P, s)
-    n2 = d * w2p
-    whp = (th + 2 * P) // s
-    nbits = max(1, (wp - 1).bit_length())
-    inv_c = (1.0 / c) if inv_c is None else inv_c
-    in_dtype = f2.dtype
-
-    gs = _prep_phase(g.astype(jnp.float32), s, hp, wp)  # (B, hp, s, Wp, D*D)
-    f2s = _prep_f2(f2, P, s, hp, wp, w2p)
-
-    def kernel(g_ref, f2p_ref, out_ref, f2w, z, sem):
-        bi, i = pl.program_id(0), pl.program_id(1)
-        cp = pltpu.make_async_copy(
-            f2p_ref.at[bi, :, pl.ds(i * (th // s), whp), :, :, :], f2w, sem
-        )
-        cp.start()
-        cp.wait()
-        kidx = lax.broadcasted_iota(jnp.int32, (wp, n2), 0)
-        for t in range(th):
-            par, r0 = t % s, t // s
-            for p in range(s):
-                # Scatter the cotangent into the flat band layout...
-                z[:] = jnp.zeros_like(z)
-                for dyi in range(d):
-                    z[:, dyi * w2p : dyi * w2p + d] = g_ref[
-                        0, t, p, :, dyi * d : (dyi + 1) * d
-                    ]
-                # ...then align per-row offsets: roll RIGHT by k.
-                g2 = z[:]
-                for bit in range(nbits):
-                    rolled = pltpu.roll(g2, 1 << bit, axis=1)
-                    g2 = jnp.where(((kidx >> bit) & 1) == 1, rolled, g2)
-                b2 = f2w[par, r0 : r0 + d, p].reshape(n2, c)
-                # Cast the small cotangent band to the window dtype: a
-                # per-iteration f32 upcast of b2 (2016 x C) blows the
-                # Mosaic VMEM stack; bf16 cotangents are standard in
-                # bf16 training (grads accumulate f32 in the matmul).
-                df1 = lax.dot_general(
-                    g2.astype(b2.dtype), b2, (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                    precision=_matmul_precision(b2.dtype),
-                )  # (Wp, C)
-                out_ref[0, t, p] = df1 * inv_c
-
-    out = pl.pallas_call(
-        kernel,
-        grid=(b, hp // th),
-        in_specs=[
-            pl.BlockSpec((1, th, s, wp, d * d), lambda bi, i: (bi, i, 0, 0, 0)),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ],
-        out_specs=pl.BlockSpec((1, th, s, wp, c), lambda bi, i: (bi, i, 0, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((b, hp, s, wp, c), jnp.float32),
-        scratch_shapes=[
-            pltpu.VMEM((s, whp, s, w2p, c), f2s.dtype),
-            pltpu.VMEM((wp, n2), jnp.float32),
-            pltpu.SemaphoreType.DMA(()),
-        ],
-        interpret=_INTERPRET,
-    )(gs, f2s)
-
-    return _merge_phase(out, h, w).astype(in_dtype)
-
-
 # ---------------------------------------------------------------------------
 # Gradient w.r.t. f2
 # ---------------------------------------------------------------------------
@@ -597,130 +528,4 @@ def corr_bwd_f2_mxu(
     r0 = P - blk_lo * th
     j0 = P // s
     out = out[:, r0 : r0 + h, :, j0 : j0 + wp, :]
-    return _merge_phase(out, h, w).astype(in_dtype)
-
-
-def corr_bwd_f2_mxu_roll(
-    g: jax.Array, f1: jax.Array, P: int, s: int, inv_c: float | None = None
-) -> jax.Array:
-    """v1 (in-kernel chunked barrel-roll band build) — kept for comparison.
-
-    Output-stationary over the padded (h+2P) row extent. Per output row
-    and phase, all dy contributions stack into the contraction axis:
-    ``df2_row = BStack^T @ F1Stack`` with ``K = D*Wp``, where each
-    ``BStack[dy]`` is the cotangent band (21 static stores + barrel-roll
-    right by k) and ``F1Stack`` is a contiguous window slice — the row
-    arithmetic collapses to plane rows ``[t//s, t//s + D)`` because
-    ``2P/s = D - 1``. One MXU matmul per (row, phase).
-    """
-    b, h, w, c = f1.shape
-    d, wp, w2, w2p, th, hp = _dims(h, w, P, s)
-    nbits = max(1, (wp - 1).bit_length())
-    inv_c = (1.0 / c) if inv_c is None else inv_c
-    in_dtype = f1.dtype
-    h2 = hp + 2 * P  # padded output rows
-    whp = (th + 2 * P) // s  # window rows per parity plane
-    dd = d * d
-
-    stage = _stage_dtype(f1)
-    # Manual-DMA lane extents must be 128-multiples: pad the cotangent's
-    # displacement channels (441 -> 512) and require C % 128 == 0 (the
-    # dispatcher chunks to 128/256).
-    ddp = _round_up(dd, 128)
-    g = jnp.pad(g, ((0, 0), (0, 0), (0, 0), (0, ddp - dd)))
-
-    # g, f1: rows padded 2P before/after, phase-split cols, row-parity split.
-    def prep(x):
-        x = jnp.pad(x, ((0, 0), (2 * P, 2 * P + hp - h), (0, 0), (0, 0)))
-        x = _phase_split_cols(x, s, wp)  # (B, hp+4P, s, Wp, cx)
-        return _row_parity_split(x, s)
-
-    gs = prep(g.astype(stage))
-    f1s = prep(f1.astype(stage))
-
-    half = -(-d // 2)
-    # The fixed-size (half) chunk slice of the f1 window can overrun the
-    # real rows by (2*half - d) on the last output row; pad the scratch
-    # and zero it so the overrun rows multiply zero bands harmlessly.
-    f1rows = max(whp, (th // s - 1) + 2 * half)
-
-    def kernel(gp_ref, f1p_ref, out_ref, gwin, f1w, z3, sems):
-        bi, i = pl.program_id(0), pl.program_id(1)
-        if f1rows != whp:
-            f1w[:] = jnp.zeros_like(f1w)
-        cp0 = pltpu.make_async_copy(
-            gp_ref.at[bi, :, pl.ds(i * (th // s), whp), :, :, :], gwin, sems.at[0]
-        )
-        cp1 = pltpu.make_async_copy(
-            f1p_ref.at[bi, :, pl.ds(i * (th // s), whp), :, :, :],
-            f1w.at[:, pl.ds(0, whp)],
-            sems.at[1],
-        )
-        cp0.start()
-        cp1.start()
-        cp0.wait()
-        cp1.wait()
-        kidx = lax.broadcasted_iota(jnp.int32, (half, wp, w2p), 1)
-        for t in range(th):
-            par, base = t % s, t // s
-            for p in range(s):
-                total = jnp.zeros((w2p, c), jnp.float32)
-                for lo in range(0, d, half):
-                    n = min(half, d - lo)
-                    # Batched band: z3[j, k, :D] <- cotangent block of
-                    # window row (base+lo+j), displacement dy = d-1-(lo+j).
-                    z3[:] = jnp.zeros_like(z3)
-                    for j in range(n):
-                        dy = d - 1 - (lo + j)
-                        z3[j, :, :d] = gwin[
-                            par, base + lo + j, p, :, dy * d : (dy + 1) * d
-                        ].astype(jnp.float32)
-                    # One barrel chain per chunk: roll right by k along the
-                    # band axis (no wrap: dx + k <= W2 - 1 < W2p). Rolls
-                    # must be 32-bit (Mosaic: non-32-bit rotate).
-                    zz = z3[:]
-                    for bit in range(nbits):
-                        rolled = pltpu.roll(zz, 1 << bit, axis=2)
-                        zz = jnp.where(((kidx >> bit) & 1) == 1, rolled, zz)
-                    f1win = f1w[par, base + lo : base + lo + half, p]
-                    # Batched over dy, contract k; sum the dy partials.
-                    prods = lax.dot_general(
-                        zz.astype(f1win.dtype), f1win,
-                        (((1,), (1,)), ((0,), (0,))),
-                        preferred_element_type=jnp.float32,
-                        precision=_matmul_precision(f1win.dtype),
-                    )  # (half, W2p, C); rows past n carry zero bands
-                    total = total + jnp.sum(prods, axis=0)
-                out_ref[0, t, p] = total * inv_c
-
-    out = pl.pallas_call(
-        kernel,
-        grid=(b, blk_hi - blk_lo),
-        in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ],
-        out_specs=pl.BlockSpec((1, th, s, w2p, c), lambda bi, i: (bi, i, 0, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct(
-            (b, (blk_hi - blk_lo) * th, s, w2p, c), jnp.float32
-        ),
-        scratch_shapes=[
-            pltpu.VMEM((s, whp, s, wp, ddp), stage),
-            pltpu.VMEM((s, f1rows, s, wp, c), stage),
-            pltpu.VMEM((-(-d // 2), wp, w2p), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
-        # The cotangent + f1 stripe windows alone are ~9-11 MB; the
-        # default Mosaic budget (16 MB) rejects the kernel with the
-        # pipeline's double-buffered output blocks on top. v5e has
-        # far more physical VMEM — raise the cap for this call.
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024
-        ),
-        interpret=_INTERPRET,
-    )(gs, f1s)
-
-    # Crop rows [P, P+h); cols: global u = s*j + p in [P, P+w) -> j from P//s.
-    j0 = P // s
-    out = out[:, P : P + h, :, j0 : j0 + wp, :]
     return _merge_phase(out, h, w).astype(in_dtype)
