@@ -341,3 +341,44 @@ def test_loader_no_loop(tmp_path, rng):
     loader = Loader(examples, batch_size=2, load_hw=(16, 32), loop=False, shuffle=False)
     batches = list(loader)
     assert len(batches) == 2
+
+
+def test_kitti_raw_max_frame_gap(tmp_path, rng):
+    """gap pairs (reference skip_frames): 6 frames with gap<=2 ->
+    5 adjacent + 4 gap-2 pairs; gap pairs never straddle excluded frames
+    beyond what adjacent exclusion already enforces."""
+    _make_kitti_raw(tmp_path, rng, n_frames=6)
+    ds = KITTIRaw(tmp_path, exclude="off", max_frame_gap=2)
+    examples = ds.train_examples()
+    pairs = {(int(Path(e.im1).stem), int(Path(e.im2).stem)) for e in examples}
+    assert pairs == {(i, i + 1) for i in range(5)} | {(i, i + 2) for i in range(4)}
+
+
+def test_max_frame_gap_config_plumbing(tmp_path, rng, monkeypatch):
+    """[train] max_frame_gap reaches the KITTIRaw constructor through
+    cli/train.build_batches_and_norm (was constructor-only dead plumbing,
+    ADVICE r2)."""
+    from unflow_tpu.cli import train as train_cli
+    from unflow_tpu.config import Config
+
+    _make_kitti_raw(tmp_path, rng, n_frames=6)
+    cfg = Config()
+    cfg.dirs.data = str(tmp_path)
+    t = cfg.train
+    t.dataset = "kitti_raw"
+    t.height, t.width = 16, 32
+    t.batch_size = 2
+    t.max_frame_gap = 2
+
+    captured = {}
+    real = train_cli.get_dataset
+
+    def spy(name, data_dir, **kwargs):
+        captured.update(kwargs)
+        return real(name, data_dir, **kwargs)
+
+    monkeypatch.setattr(train_cli, "get_dataset", spy)
+    batches, _norm = train_cli.build_batches_and_norm(cfg)
+    assert captured == {"max_frame_gap": 2}
+    batch = next(batches)
+    assert batch["im1"].shape == (2, 16, 32, 3)

@@ -35,7 +35,10 @@ def build_batches_and_norm(cfg: Config):
             ),
             DEFAULT_NORMALIZATION,
         )
-    dataset = get_dataset(t.dataset, cfg.dirs.data)
+    ds_kwargs = {}
+    if t.dataset == "kitti_raw" and t.max_frame_gap > 1:
+        ds_kwargs["max_frame_gap"] = t.max_frame_gap
+    dataset = get_dataset(t.dataset, cfg.dirs.data, **ds_kwargs)
     examples = dataset.train_examples()
     loader = Loader(
         examples,

@@ -67,6 +67,9 @@ class TrainConfig:
     # the train crop, e.g. SYNTHIA at 512x768 configs).
     input_mode: str = "crop_pad"
     num_threads: int = 4  # host decode threads (reference queue runners)
+    # Temporal augmentation for KITTI raw: pair frames up to this many
+    # steps apart (reference skip_frames; kitti_raw only, 1 = adjacent).
+    max_frame_gap: int = 1
     # TPU-native knobs (no reference counterpart)
     compute_dtype: str = "bfloat16"  # model tower dtype; losses stay f32
     corr_impl: str = "auto"

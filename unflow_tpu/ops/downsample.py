@@ -31,11 +31,16 @@ def downsample(x: jax.Array, factor: int) -> jax.Array:
     b, h, w, c = x.shape
     if h % factor or w % factor:
         raise ValueError(f"shape {(h, w)} not divisible by factor {factor}")
+    # Accumulate in f32: summing factor^2 values in bf16 before the divide
+    # compounds rounding across successive pyramid levels (level i carries
+    # i+1 round-trips). XLA fuses the converts into the reduce, so the
+    # f32 accumulation is free of extra HBM traffic.
+    acc = x.dtype if x.dtype == jnp.float64 else jnp.float32
     s = lax.reduce_window(
-        x, jnp.zeros((), x.dtype), lax.add,
+        x.astype(acc), jnp.zeros((), acc), lax.add,
         (1, factor, factor, 1), (1, factor, factor, 1), "VALID",
     )
-    return s / jnp.asarray(factor * factor, x.dtype)
+    return (s / jnp.asarray(factor * factor, acc)).astype(x.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("factor", "rescale"))
