@@ -5,7 +5,7 @@ Prints ONE JSON line:
 
 Measures the full UnFlow-C unsupervised train step (forward + backward
 flow passes, census + 2nd-order smoothness + fb-consistency losses,
-Adam update) at the reference's KITTI training crop 320x1152, batch 4,
+Adam update) at the reference's KITTI training crop 320x1152, batch 8,
 bf16 towers + f32 losses, Pallas correlation — on one real TPU chip.
 
 Baseline methodology: the reference repo publishes NO throughput numbers

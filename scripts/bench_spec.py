@@ -68,6 +68,12 @@ def main() -> None:
     dt = time.perf_counter() - t0
     assert np.isfinite(loss), loss
     pairs = args.batch * args.iters / dt
+
+    # Spec-matched TF1 denominator (BASELINE.md "Spec-matched throughput
+    # denominators"): one trained net = 3F, frozen stage = 1F, both flow
+    # directions; TF1 C = 10 pairs/s at 6F.
+    cost_f = sum(3 if c.isupper() else 1 for c in (args.spec or "C")) * 2
+    baseline = 10.0 * 6.0 / cost_f
     print(
         json.dumps(
             {
@@ -75,6 +81,8 @@ def main() -> None:
                 "value": round(pairs, 3),
                 "unit": "pairs/sec/chip",
                 "batch": args.batch,
+                "spec_matched_baseline": round(baseline, 2),
+                "vs_baseline": round(pairs / baseline, 3),
             }
         )
     )

@@ -382,3 +382,101 @@ def test_max_frame_gap_config_plumbing(tmp_path, rng, monkeypatch):
     assert captured == {"max_frame_gap": 2}
     batch = next(batches)
     assert batch["im1"].shape == (2, 16, 32, 3)
+
+
+def test_loader_uint8_matches_float32(tmp_path, rng):
+    """uint8 loader batches are exactly f32 batches * 255 (the on-device
+    f32/255 conversion is exact, so the fast path is bit-identical)."""
+    _make_kitti_raw(tmp_path, rng, n_frames=5)
+    examples = KITTIRaw(tmp_path, exclude="off").train_examples()
+    kw = dict(batch_size=2, load_hw=(16, 32), loop=False, shuffle=False)
+    b_f = next(iter(Loader(examples, **kw)))
+    b_u = next(iter(Loader(examples, image_dtype="uint8", **kw)))
+    assert b_u["im1"].dtype == np.uint8
+    np.testing.assert_array_equal(
+        b_u["im1"].astype(np.float32) / 255.0, b_f["im1"]
+    )
+    np.testing.assert_array_equal(
+        b_u["im2"].astype(np.float32) / 255.0, b_f["im2"]
+    )
+
+
+def test_loader_uint8_rejects_resize(tmp_path, rng):
+    _make_kitti_raw(tmp_path, rng, n_frames=3)
+    examples = KITTIRaw(tmp_path, exclude="off").train_examples()
+    loader = Loader(
+        examples, batch_size=1, load_hw=(16, 32), loop=False,
+        mode="resize", image_dtype="uint8",
+    )
+    with pytest.raises(ValueError):
+        next(iter(loader))
+
+
+# --- packed fast path (data/packed.py) ---------------------------------------
+
+
+def test_packed_matches_decode_loader(tmp_path, rng):
+    """Packed memmap batches are bit-identical to the decode loader's
+    uint8 batches for the same example stream (same seed/order)."""
+    from unflow_tpu.data.packed import PackedExamples, pack_examples
+
+    _make_kitti_raw(tmp_path, rng, n_frames=7)
+    examples = KITTIRaw(tmp_path, exclude="off").train_examples()
+    out = pack_examples(examples, tmp_path / "packed", (16, 32))
+    packed = PackedExamples(out)
+    assert len(packed) == len(examples)
+
+    kw = dict(batch_size=2, load_hw=(16, 32), loop=False, seed=3)
+    for b_dec, b_pack in zip(
+        iter(Loader(examples, image_dtype="uint8", **kw)),
+        iter(Loader(packed, image_dtype="uint8", **kw)),
+    ):
+        assert b_pack["im1"].dtype == np.uint8
+        np.testing.assert_array_equal(b_pack["im1"], b_dec["im1"])
+        np.testing.assert_array_equal(b_pack["im2"], b_dec["im2"])
+
+
+def test_packed_supervised_roundtrip(tmp_path, rng):
+    from unflow_tpu.data.packed import PackedExamples, pack_examples
+
+    _make_kitti_2012(tmp_path, rng, n=3)
+    examples = KITTI2012(tmp_path).train_examples()
+    out = pack_examples(
+        examples, tmp_path / "packed", (16, 32), supervised=True
+    )
+    packed = PackedExamples(out)
+    kw = dict(
+        batch_size=1, load_hw=(16, 32), loop=False, shuffle=False,
+        supervised=True,
+    )
+    for b_dec, b_pack in zip(
+        iter(Loader(examples, **kw)), iter(Loader(packed, **kw))
+    ):
+        # float32 request converts frames back on the host — exact.
+        np.testing.assert_array_equal(b_pack["im1"], b_dec["im1"])
+        np.testing.assert_array_equal(b_pack["flow"], b_dec["flow"])
+        np.testing.assert_array_equal(b_pack["mask"], b_dec["mask"])
+
+
+def test_packed_geometry_mismatch_raises(tmp_path, rng):
+    from unflow_tpu.data.packed import PackedExamples, pack_examples
+
+    _make_kitti_raw(tmp_path, rng, n_frames=3)
+    examples = KITTIRaw(tmp_path, exclude="off").train_examples()
+    out = pack_examples(examples, tmp_path / "packed", (16, 32))
+    with pytest.raises(ValueError, match="re-pack"):
+        Loader(PackedExamples(out), batch_size=1, load_hw=(32, 64))
+
+
+def test_packed_unsupervised_has_no_gt(tmp_path, rng):
+    from unflow_tpu.data.packed import PackedExamples, pack_examples
+
+    _make_kitti_raw(tmp_path, rng, n_frames=3)
+    examples = KITTIRaw(tmp_path, exclude="off").train_examples()
+    out = pack_examples(examples, tmp_path / "packed", (16, 32))
+    loader = Loader(
+        PackedExamples(out), batch_size=1, load_hw=(16, 32),
+        supervised=True, loop=False,
+    )
+    with pytest.raises(ValueError, match="no ground truth"):
+        next(iter(loader))

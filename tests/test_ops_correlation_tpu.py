@@ -84,7 +84,9 @@ def test_mxu_correlation_parity_on_tpu():
         env=env,
         capture_output=True,
         text=True,
-        timeout=540,
+        # 5m14s uncontended on this host (tunneled remote-compile TPU);
+        # generous headroom so suite-level CPU contention can't flake it.
+        timeout=1080,
     )
     out = proc.stdout
     if "NO_TPU" in out:

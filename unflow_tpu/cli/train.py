@@ -39,7 +39,15 @@ def build_batches_and_norm(cfg: Config):
     if t.dataset == "kitti_raw" and t.max_frame_gap > 1:
         ds_kwargs["max_frame_gap"] = t.max_frame_gap
     dataset = get_dataset(t.dataset, cfg.dirs.data, **ds_kwargs)
-    examples = dataset.train_examples()
+    if t.packed_dir:
+        # Pre-decoded memmap blob (cli.pack): batches are a fancy-indexed
+        # memcpy instead of per-step PNG decode — the input path keeps up
+        # with the chip on a single host core (scripts/bench_e2e.py).
+        from unflow_tpu.data.packed import PackedExamples
+
+        examples = PackedExamples(t.packed_dir)
+    else:
+        examples = dataset.train_examples()
     loader = Loader(
         examples,
         batch_size=t.batch_size,
@@ -48,6 +56,9 @@ def build_batches_and_norm(cfg: Config):
         seed=t.seed,
         num_threads=t.num_threads,
         mode=t.input_mode,
+        # uint8 frames to the device; the jitted step converts f32/255
+        # (exact) — quarter the decode-side work and transfer bytes.
+        image_dtype="uint8" if t.input_mode == "crop_pad" else "float32",
     )
     return iter(loader), dataset.normalization
 

@@ -67,6 +67,10 @@ class TrainConfig:
     # the train crop, e.g. SYNTHIA at 512x768 configs).
     input_mode: str = "crop_pad"
     num_threads: int = 4  # host decode threads (reference queue runners)
+    # Packed-dataset directory (data/packed.py): serve batches from a
+    # pre-decoded memmap blob instead of per-step PNG decode. Empty =
+    # decode from the dataset's source files. Create with cli.pack.
+    packed_dir: str = ""
     # Temporal augmentation for KITTI raw: pair frames up to this many
     # steps apart (reference skip_frames; kitti_raw only, 1 = adjacent).
     max_frame_gap: int = 1

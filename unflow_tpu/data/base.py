@@ -24,7 +24,12 @@ from typing import Iterator, Sequence
 
 import numpy as np
 
-from unflow_tpu.data.io import read_flo, read_image, read_kitti_png_flow
+from unflow_tpu.data.io import (
+    read_flo,
+    read_image,
+    read_image_u8,
+    read_kitti_png_flow,
+)
 
 
 @dataclass(frozen=True)
@@ -121,9 +126,20 @@ def load_example(
     target_hw: tuple[int, int] | None,
     supervised: bool,
     mode: str = "crop_pad",
+    image_dtype: str = "float32",
 ):
-    im1 = read_image(ex.im1)
-    im2 = read_image(ex.im2)
+    """Decode one example. image_dtype='uint8' keeps frames as raw uint8
+    (the jitted train step converts to f32/255 on device — bit-identical
+    and ~4x less host work/transfer); requires mode='crop_pad' since the
+    host-side bilinear resize needs float frames."""
+    if image_dtype == "uint8":
+        if mode == "resize":
+            raise ValueError("image_dtype='uint8' requires mode='crop_pad'")
+        im1 = read_image_u8(ex.im1)
+        im2 = read_image_u8(ex.im2)
+    else:
+        im1 = read_image(ex.im1)
+        im2 = read_image(ex.im2)
     out = {}
     if supervised:
         if ex.flow is None:
@@ -178,10 +194,20 @@ class Loader:
         prefetch: int = 2,
         loop: bool = True,
         mode: str = "crop_pad",
+        image_dtype: str = "float32",
     ):
-        if not examples:
+        if not len(examples):
             raise ValueError("empty example list")
-        self.examples = list(examples)
+        # Packed source (data/packed.py): batches come from a memmap
+        # gather instead of the decode pool — keep the object as-is.
+        self._packed = examples if hasattr(examples, "gather") else None
+        if self._packed is not None:
+            if tuple(self._packed.hw) != tuple(load_hw):
+                raise ValueError(
+                    f"packed dataset geometry {self._packed.hw} != "
+                    f"requested load_hw {tuple(load_hw)}; re-pack"
+                )
+        self.examples = examples if self._packed is not None else list(examples)
         self.batch_size = batch_size
         self.load_hw = load_hw
         self.supervised = supervised
@@ -191,6 +217,7 @@ class Loader:
         self.prefetch = prefetch
         self.loop = loop
         self.mode = mode
+        self.image_dtype = image_dtype
 
     def _epoch_order(self, epoch: int) -> np.ndarray:
         idx = np.arange(len(self.examples))
@@ -225,6 +252,25 @@ class Loader:
                     continue
             return False
 
+        def producer_packed():
+            """Memmap-gather path: no decode pool, one prefetch thread
+            overlapping the batch memcpy with the device step."""
+            batches = self._batch_indices()
+            try:
+                while not stop.is_set():
+                    sel = next(batches, None)
+                    if sel is None:
+                        safe_put(None)
+                        return
+                    batch = self._packed.gather(sel, self.supervised)
+                    if self.image_dtype == "float32":
+                        for k in ("im1", "im2"):
+                            batch[k] = batch[k].astype(np.float32) / 255.0
+                    if not safe_put(batch):
+                        return
+            except Exception as e:
+                safe_put(e)
+
         def producer():
             from concurrent.futures import ThreadPoolExecutor
             import collections
@@ -252,6 +298,7 @@ class Loader:
                                         self.load_hw,
                                         self.supervised,
                                         self.mode,
+                                        self.image_dtype,
                                     )
                                     for i in sel
                                 ]
@@ -268,7 +315,10 @@ class Loader:
             except Exception as e:  # propagate decode errors to the consumer
                 safe_put(e)
 
-        thread = threading.Thread(target=producer, daemon=True)
+        thread = threading.Thread(
+            target=producer_packed if self._packed is not None else producer,
+            daemon=True,
+        )
         thread.start()
         try:
             while True:

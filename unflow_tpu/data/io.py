@@ -54,6 +54,17 @@ def read_image(path: str | Path) -> np.ndarray:
     return arr
 
 
+def read_image_u8(path: str | Path) -> np.ndarray:
+    """Decode an image to uint8 RGB (H, W, 3) — no float conversion.
+
+    Fast path for the training loader: the float32 [0,1] conversion
+    (``u8/255``, exact in f32) moves on-device into the jitted train
+    step, quartering host-side memory traffic and host->HBM transfer.
+    """
+    with Image.open(str(path)) as img:
+        return np.asarray(img.convert("RGB"))
+
+
 def write_image(path: str | Path, im: np.ndarray) -> None:
     arr = np.clip(im * 255.0 + 0.5, 0, 255).astype(np.uint8)
     Image.fromarray(arr).save(str(path))

@@ -36,12 +36,18 @@ import jax.numpy as jnp
 
 
 def _sample_coords(flow: jax.Array):
-    """Absolute sample coordinates (x, y) for each target pixel."""
+    """Absolute sample coordinates (x, y) for each target pixel.
+
+    Coordinate math is forced to >= f32: bf16 cannot represent pixel
+    positions past 256 exactly (8 mantissa bits), which corrupts the
+    integer tap indices, not just the fractional weights.
+    """
     b, h, w, _ = flow.shape
-    gy = jnp.arange(h, dtype=flow.dtype)[None, :, None]
-    gx = jnp.arange(w, dtype=flow.dtype)[None, None, :]
-    x = gx + flow[..., 0]
-    y = gy + flow[..., 1]
+    ct = jnp.promote_types(flow.dtype, jnp.float32)
+    gy = jnp.arange(h, dtype=ct)[None, :, None]
+    gx = jnp.arange(w, dtype=ct)[None, None, :]
+    x = gx + flow[..., 0].astype(ct)
+    y = gy + flow[..., 1].astype(ct)
     return x, y
 
 
