@@ -139,6 +139,23 @@ def main() -> None:
             image_dtype="uint8",
         )
         results["packed_uint8"] = round(run_loop(iter(ploader), args.iters), 2)
+
+        # Host-serve-only rate of the packed path (no device): how fast
+        # the input pipeline COULD feed a chip with a real PCIe/DMA link.
+        hit = iter(
+            Loader(
+                PackedExamples(pdir), batch_size=args.batch, load_hw=hw,
+                image_dtype="uint8",
+            )
+        )
+        next(hit)
+        t0 = time.perf_counter()
+        nb = 30
+        for _ in range(nb):
+            next(hit)
+        results["packed_host_serve"] = round(
+            args.batch * nb / (time.perf_counter() - t0), 1
+        )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 

@@ -194,6 +194,11 @@ def make_train_step(
         params = optax.apply_updates(state.params, updates)
         logs["loss"] = loss
         logs["grad_norm"] = optax.global_norm(grads)
+        # Log the effective LR so schedule crossings (piecewise halving,
+        # reference core/train.py) are visible in metrics.jsonl.
+        logs["lr"] = piecewise_halving(
+            t.learning_rate, t.decay_after, t.decay_interval
+        )(state.step)
         return TrainState(state.step + 1, params, opt_state), logs
 
     return train_step
@@ -298,10 +303,15 @@ class Trainer:
         target = min(max_iters or t.num_iters, t.num_iters)
         logs = {}
         pairs_accum, t_last = 0, time.perf_counter()
-        while self.step < target:
+        # Host-side step mirror: fetching state.step every iteration would
+        # cost a device round-trip per step (the tunneled chip pipelines
+        # steps; a per-step scalar fetch serializes them). The device
+        # counter stays authoritative for checkpoint/restore.
+        step = self.step  # one sync at (re)entry
+        while step < target:
             batch = self._put_batch(next(self.batches))
             self.state, logs = self._step(self.state, batch, self.rng)
-            step = self.step  # syncs
+            step += 1
             pairs_accum += batch["im1"].shape[0]
             if step % t.display_interval == 0:
                 now = time.perf_counter()
