@@ -101,3 +101,25 @@ def test_backward_flow_shared_params(rng):
     f_bw = model.apply(params, x_bw)
     assert f_fw[0].shape == f_bw[0].shape
     assert not np.allclose(np.asarray(f_fw[0]), np.asarray(f_bw[0]))
+
+
+def test_stack_glue_grad_finite_at_zero_brightness_error():
+    """CSS/train_all regression: the stage-glue brightness error must have
+    a finite VJP when im1 - warp(im2) == 0 exactly.
+
+    jnp.linalg.norm's gradient is x/||x|| -> NaN at zero; constant equal
+    images make the difference exactly zero at every pixel (bf16 training
+    hit this by step 2 of CSS train_all). The glue now uses an
+    epsilon-guarded norm.
+    """
+    im = jnp.full((1, H, W, 3), 0.5, jnp.float32)
+    model = FlowNetStack(spec="CS", corr_impl="jnp")
+    params = model.init(jax.random.PRNGKey(0), im, im)
+
+    def loss(p):
+        stages = model.apply(p, im, im)
+        return sum(jnp.sum(jnp.square(f)) for st in stages for f in st)
+
+    grads = jax.grad(loss)(params)["params"]
+    leaves = jax.tree_util.tree_leaves(grads)
+    assert all(bool(jnp.all(jnp.isfinite(g))) for g in leaves)

@@ -257,8 +257,16 @@ class FlowNetStack(nn.Module):
                 # represent pixel positions past 256 exactly); only the
                 # gathered image rides bf16.
                 warped = backward_warp(im2.astype(dt), flow_prev)
-                err = jnp.linalg.norm(
-                    im1.astype(dt) - warped, axis=-1, keepdims=True
+                # Brightness error: epsilon-guarded norm, NOT
+                # jnp.linalg.norm — norm's VJP is x/||x||, which is NaN
+                # at ||x|| == 0, and bf16 makes exact zero differences
+                # common. Only train_all/CSS runs this VJP (csS cuts it
+                # with stop_gradient), which made CSS training NaN by
+                # step 2 while csS was stable.
+                diff = im1.astype(dt) - warped
+                err = jnp.sqrt(
+                    jnp.sum(jnp.square(diff), axis=-1, keepdims=True)
+                    + jnp.asarray(1e-6, dt)
                 )
                 x = jnp.concatenate(
                     [
