@@ -65,8 +65,10 @@ class PairDataset:
     def _require(self, path: Path, hint: str) -> Path:
         if not path.exists():
             raise FileNotFoundError(
-                f"{self.name}: expected {path}. This environment has no "
-                f"network egress; place the dataset there manually. {hint}"
+                f"{self.name}: expected {path}. Fetch it with "
+                f"`python -m unflow_tpu.cli.download {self.name} "
+                f"--data-dir {self.data_dir}` (unflow_tpu.data.bootstrap), "
+                f"or place it there manually. {hint}"
             )
         return path
 
