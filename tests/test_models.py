@@ -123,3 +123,28 @@ def test_stack_glue_grad_finite_at_zero_brightness_error():
     grads = jax.grad(loss)(params)["params"]
     leaves = jax.tree_util.tree_leaves(grads)
     assert all(bool(jnp.all(jnp.isfinite(g))) for g in leaves)
+
+
+def test_pair_flipped_tower_dedup_exact(rng):
+    """pair_flipped_im2=True (single shared-tower pass + pair flip) must
+    reproduce the plain two-tower-pass bidirectional apply exactly:
+    convolution commutes with batch permutation, so the dedup is not an
+    approximation."""
+    n1 = jnp.asarray(rng.randn(2, H, W, 3).astype(np.float32))
+    n2 = jnp.asarray(rng.randn(2, H, W, 3).astype(np.float32))
+
+    def interleave(a, b):
+        return jnp.stack([a, b], axis=1).reshape((2 * a.shape[0],) + a.shape[1:])
+
+    im1 = interleave(n1, n2)
+    im2 = interleave(n2, n1)
+    for spec in ("C", "CS"):
+        model = FlowNetStack(spec=spec, corr_impl="jnp")
+        params = model.init(jax.random.PRNGKey(0), n1, n2)
+        ref = model.apply(params, im1, im2)
+        dedup = model.apply(params, im1, im2, pair_flipped_im2=True)
+        for st_ref, st_dedup in zip(ref, dedup):
+            for f_ref, f_dedup in zip(st_ref, st_dedup):
+                np.testing.assert_allclose(
+                    np.asarray(f_dedup), np.asarray(f_ref), rtol=0, atol=1e-5
+                )

@@ -48,6 +48,17 @@ def _leaky(x):
     return nn.leaky_relu(x, negative_slope=0.1)
 
 
+def _pair_flip(x: jax.Array) -> jax.Array:
+    """Swap each adjacent (fw, bw) pair along the leading axis.
+
+    For an interleaved bidirectional batch of size 2B (see
+    Trainer.make_train_step), row 2i <-> row 2i+1. Pure reshape +
+    minor-axis reverse: shard-local under a batch sharding.
+    """
+    b2 = x.shape[0]
+    return x.reshape((b2 // 2, 2) + x.shape[1:])[:, ::-1].reshape(x.shape)
+
+
 class _Decoder(nn.Module):
     """Shared FlowNet decoder: 4 deconv stages + 5 flow predictions.
 
@@ -145,7 +156,22 @@ class FlowNetC(nn.Module):
     corr_impl: str | None = None  # None -> ops registry default ("auto")
 
     @nn.compact
-    def __call__(self, im1: jax.Array, im2: jax.Array) -> list[jax.Array]:
+    def __call__(
+        self,
+        im1: jax.Array,
+        im2: jax.Array,
+        pair_flipped_im2: bool = False,
+    ) -> list[jax.Array]:
+        """``pair_flipped_im2``: promise that ``im2 == _pair_flip(im1)``
+        (the bidirectional interleaved batch the trainer builds:
+        im1 = interleave(n1, n2), im2 = interleave(n2, n1)). The shared
+        feature tower then runs ONCE on im1 and tower(im2) is derived by
+        flipping each example's (fw, bw) pair — bit-exact (convolution
+        commutes with batch permutation) and it halves tower conv FLOPs
+        in the hot bidirectional train step. The flip is a minor-axis
+        reverse after a (B, 2) reshape, so the batch axis stays
+        shard-local under a P("data") sharding.
+        """
         dt = self.compute_dtype
 
         def conv(x, features, kernel, stride, name):
@@ -168,7 +194,10 @@ class FlowNetC(nn.Module):
             return c2, c3
 
         c2a, c3a = tower(im1)
-        _, c3b = tower(im2)
+        if pair_flipped_im2:
+            c3b = _pair_flip(c3a)
+        else:
+            _, c3b = tower(im2)
 
         corr = correlation(
             c3a, c3b, max_displacement=self.max_displacement,
@@ -219,7 +248,12 @@ class FlowNetStack(nn.Module):
     corr_stride: int = 2
 
     @nn.compact
-    def __call__(self, im1: jax.Array, im2: jax.Array) -> list[list[jax.Array]]:
+    def __call__(
+        self,
+        im1: jax.Array,
+        im2: jax.Array,
+        pair_flipped_im2: bool = False,
+    ) -> list[list[jax.Array]]:
         if not self.spec or self.spec[0].upper() not in ("C", "S"):
             raise ValueError(f"bad stack spec {self.spec!r}")
         b, h, w, _ = im1.shape
@@ -235,7 +269,7 @@ class FlowNetStack(nn.Module):
                         corr_impl=self.corr_impl,
                         max_displacement=self.max_displacement,
                         corr_stride=self.corr_stride, name=name,
-                    )(im1, im2)
+                    )(im1, im2, pair_flipped_im2=pair_flipped_im2)
                 else:
                     flows = FlowNetS(compute_dtype=self.compute_dtype, name=name)(
                         jnp.concatenate([im1, im2], -1)

@@ -165,8 +165,12 @@ def make_train_step(
             def deinterleave(f, i):
                 return f.reshape((nb, 2) + f.shape[1:])[:, i]
 
+            # pair_flipped_im2: the second argument is exactly the first
+            # with each (fw, bw) pair swapped, so FlowNetC computes its
+            # shared feature tower once and pair-flips it (bit-exact).
             stages_both = model.apply(
-                variables, interleave(n1, n2), interleave(n2, n1)
+                variables, interleave(n1, n2), interleave(n2, n1),
+                pair_flipped_im2=True,
             )
             stages_fw = [[deinterleave(f, 0) for f in stage] for stage in stages_both]
             stages_bw = [[deinterleave(f, 1) for f in stage] for stage in stages_both]
