@@ -117,9 +117,18 @@ def main() -> None:
         ]
         hw = (args.height, args.width)
 
-        # ceiling: resident synthetic batch, no host work
+        # ceiling: resident synthetic batch, no host work and no host->
+        # device transfer (bench.py contract). Feeding fresh host batches
+        # here would measure the dev-environment tunnel (~100 MB/s), not
+        # the step: jnp.asarray on already-device arrays is a no-op.
+        import itertools
+
+        resident = {
+            k: jnp.asarray(v)
+            for k, v in next(batch_iterator(args.batch, *hw, seed=0)).items()
+        }
         results["device_only"] = round(
-            run_loop(batch_iterator(args.batch, *hw, seed=0), args.iters), 2
+            run_loop(itertools.repeat(resident), args.iters), 2
         )
 
         # threaded decode loader (uint8 fast path)
