@@ -148,3 +148,26 @@ def test_pair_flipped_tower_dedup_exact(rng):
                 np.testing.assert_allclose(
                     np.asarray(f_dedup), np.asarray(f_ref), rtol=0, atol=1e-5
                 )
+
+
+def test_phase_deconv_matches_native():
+    """_PhaseDeconv is checkpoint-compatible and numerically identical to
+    nn.ConvTranspose (same param tree, same outputs) through a full
+    FlowNetS — the decoder impl is a pure runtime choice."""
+    import chex
+    import numpy as np
+
+    from unflow_tpu.models.flownet import FlowNetS
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.rand(2, 64, 128, 6).astype(np.float32))
+    native = FlowNetS(compute_dtype=jnp.float32, deconv_impl="native")
+    phase = FlowNetS(compute_dtype=jnp.float32, deconv_impl="phase")
+    p_native = native.init(jax.random.PRNGKey(7), x)["params"]
+    p_phase = phase.init(jax.random.PRNGKey(7), x)["params"]
+    # identical param trees (same names, shapes, and init draws)
+    chex.assert_trees_all_equal(p_native, p_phase)
+    out_native = native.apply({"params": p_native}, x)
+    out_phase = phase.apply({"params": p_native}, x)  # cross-impl params
+    for a, b in zip(out_native, out_phase):
+        np.testing.assert_allclose(a, b, rtol=0, atol=2e-5)

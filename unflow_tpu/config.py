@@ -77,6 +77,10 @@ class TrainConfig:
     # TPU-native knobs (no reference counterpart)
     compute_dtype: str = "bfloat16"  # model tower dtype; losses stay f32
     corr_impl: str = "auto"
+    # Decoder transposed-conv lowering: "native" (nn.ConvTranspose) or
+    # "phase" (dense 2x2-conv phase decomposition, models/flownet.py::
+    # _PhaseDeconv — mathematically identical, checkpoint-compatible).
+    deconv_impl: str = "native"
     num_devices: int = 0  # 0 = all visible
     spatial_shards: int = 1
     seed: int = 0

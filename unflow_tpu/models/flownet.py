@@ -59,6 +59,56 @@ def _pair_flip(x: jax.Array) -> jax.Array:
     return x.reshape((b2 // 2, 2) + x.shape[1:])[:, ::-1].reshape(x.shape)
 
 
+class _PhaseDeconv(nn.Module):
+    """4x4/stride-2 SAME transposed conv as one dense 2x2 conv + interleave.
+
+    Mathematically identical to ``nn.ConvTranspose(features, (4, 4),
+    strides=(2, 2), padding="SAME")`` with the SAME param tree (kernel
+    ``(4, 4, C, F)`` + bias), so checkpoints are interchangeable and the
+    impl is a pure runtime choice. Derivation (verified exact vs
+    ``lax.conv_transpose``): with pad_lo=2 and no kernel flip,
+    ``out[2y+dy, 2x+dx]`` uses exactly kernel taps ``(2a+dy, 2b+dx)``
+    over input offsets ``a, b ∈ {-1, 0}`` (phase 0) / ``{0, 1}``
+    (phase 1) — i.e. each output phase is a 2x2 window. All four phases
+    fold into ONE stride-1 2x2 conv to 4F channels (a dense MXU matmul
+    with zero wasted FLOPs) followed by shifted-slice interleaving,
+    avoiding XLA's zero-dilated transposed-conv lowering.
+    """
+
+    features: int
+    compute_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        dt = self.compute_dtype
+        b, h, w, c = x.shape
+        f = self.features
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (4, 4, c, f), jnp.float32
+        )
+        bias = self.param("bias", nn.initializers.zeros, (f,), jnp.float32)
+        # (4,4,C,F) -> w2[a, b, c, (dy, dx, f)] = kernel[2a+dy, 2b+dx, c, f]
+        w2 = (
+            kernel.reshape(2, 2, 2, 2, c, f)
+            .transpose(0, 2, 4, 1, 3, 5)
+            .reshape(2, 2, c, 4 * f)
+        )
+        y = jax.lax.conv_general_dilated(
+            x.astype(dt), w2.astype(dt), window_strides=(1, 1),
+            padding=((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )  # (B, H+1, W+1, 4F)
+        ph = y.reshape(b, h + 1, w + 1, 2, 2, f)
+        p00 = ph[:, :h, :w, 0, 0]
+        p01 = ph[:, :h, 1:, 0, 1]
+        p10 = ph[:, 1:, :w, 1, 0]
+        p11 = ph[:, 1:, 1:, 1, 1]
+        r0 = jnp.stack([p00, p01], axis=3).reshape(b, h, 2 * w, f)
+        r1 = jnp.stack([p10, p11], axis=3).reshape(b, h, 2 * w, f)
+        out = jnp.stack([r0, r1], axis=2).reshape(b, 2 * h, 2 * w, f)
+        return out + bias.astype(dt)
+
+
 class _Decoder(nn.Module):
     """Shared FlowNet decoder: 4 deconv stages + 5 flow predictions.
 
@@ -67,6 +117,7 @@ class _Decoder(nn.Module):
     """
 
     compute_dtype: jnp.dtype = jnp.float32
+    deconv_impl: str = "native"  # native (nn.ConvTranspose) | phase
 
     @nn.compact
     def __call__(self, skip2, skip3, conv4_1, conv5_1, conv6_1):
@@ -75,18 +126,19 @@ class _Decoder(nn.Module):
         def conv_flow(x, name):
             return nn.Conv(2, (3, 3), padding="SAME", dtype=dt, name=name)(x)
 
+        def tconv(x, features, name):
+            if self.deconv_impl == "phase":
+                return _PhaseDeconv(features, compute_dtype=dt, name=name)(x)
+            return nn.ConvTranspose(
+                features, (4, 4), strides=(2, 2), padding="SAME", dtype=dt,
+                name=name,
+            )(x)
+
         def deconv(x, features, name):
-            return _leaky(
-                nn.ConvTranspose(
-                    features, (4, 4), strides=(2, 2), padding="SAME", dtype=dt,
-                    name=name,
-                )(x)
-            )
+            return _leaky(tconv(x, features, name))
 
         def upflow(x, name):
-            return nn.ConvTranspose(
-                2, (4, 4), strides=(2, 2), padding="SAME", dtype=dt, name=name
-            )(x)
+            return tconv(x, 2, name)
 
         flow6 = conv_flow(conv6_1, "predict_flow6")
         deconv5 = deconv(conv6_1, 512, "deconv5")
@@ -117,6 +169,7 @@ class FlowNetS(nn.Module):
     """
 
     compute_dtype: jnp.dtype = jnp.float32
+    deconv_impl: str = "native"
 
     @nn.compact
     def __call__(self, x: jax.Array) -> list[jax.Array]:
@@ -141,7 +194,9 @@ class FlowNetS(nn.Module):
         c5_1 = conv(c5, 512, 3, 1, "conv5_1")
         c6 = conv(c5_1, 1024, 3, 2, "conv6")
         c6_1 = conv(c6, 1024, 3, 1, "conv6_1")
-        return _Decoder(compute_dtype=dt, name="decoder")(c2, c3_1, c4_1, c5_1, c6_1)
+        return _Decoder(
+            compute_dtype=dt, deconv_impl=self.deconv_impl, name="decoder"
+        )(c2, c3_1, c4_1, c5_1, c6_1)
 
 
 class FlowNetC(nn.Module):
@@ -154,6 +209,7 @@ class FlowNetC(nn.Module):
     max_displacement: int = 20
     corr_stride: int = 2
     corr_impl: str | None = None  # None -> ops registry default ("auto")
+    deconv_impl: str = "native"
 
     @nn.compact
     def __call__(
@@ -214,7 +270,9 @@ class FlowNetC(nn.Module):
         c5_1 = conv(c5, 512, 3, 1, "conv5_1")
         c6 = conv(c5_1, 1024, 3, 2, "conv6")
         c6_1 = conv(c6, 1024, 3, 1, "conv6_1")
-        return _Decoder(compute_dtype=dt, name="decoder")(c2a, c3_1, c4_1, c5_1, c6_1)
+        return _Decoder(
+            compute_dtype=dt, deconv_impl=self.deconv_impl, name="decoder"
+        )(c2a, c3_1, c4_1, c5_1, c6_1)
 
 
 def full_res_flow(flows: Sequence[jax.Array], height: int, width: int) -> jax.Array:
@@ -246,6 +304,7 @@ class FlowNetStack(nn.Module):
     corr_impl: str | None = None
     max_displacement: int = 20
     corr_stride: int = 2
+    deconv_impl: str = "native"
 
     @nn.compact
     def __call__(
@@ -268,12 +327,14 @@ class FlowNetStack(nn.Module):
                         compute_dtype=self.compute_dtype,
                         corr_impl=self.corr_impl,
                         max_displacement=self.max_displacement,
-                        corr_stride=self.corr_stride, name=name,
+                        corr_stride=self.corr_stride,
+                        deconv_impl=self.deconv_impl, name=name,
                     )(im1, im2, pair_flipped_im2=pair_flipped_im2)
                 else:
-                    flows = FlowNetS(compute_dtype=self.compute_dtype, name=name)(
-                        jnp.concatenate([im1, im2], -1)
-                    )
+                    flows = FlowNetS(
+                        compute_dtype=self.compute_dtype,
+                        deconv_impl=self.deconv_impl, name=name,
+                    )(jnp.concatenate([im1, im2], -1))
             else:
                 if kind != "S":
                     raise ValueError(
@@ -312,7 +373,10 @@ class FlowNetStack(nn.Module):
                     ],
                     -1,
                 )
-                flows = FlowNetS(compute_dtype=self.compute_dtype, name=name)(x)
+                flows = FlowNetS(
+                    compute_dtype=self.compute_dtype,
+                    deconv_impl=self.deconv_impl, name=name,
+                )(x)
             if ch.islower():
                 flows = [jax.lax.stop_gradient(f) for f in flows]
             stage_flows.append(flows)

@@ -59,6 +59,7 @@ def build_model(cfg: Config) -> FlowNetStack:
         corr_impl=None if t.corr_impl == "auto" else t.corr_impl,
         max_displacement=t.max_displacement,
         corr_stride=t.corr_stride,
+        deconv_impl=t.deconv_impl,
     )
 
 
