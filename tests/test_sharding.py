@@ -143,3 +143,21 @@ def test_local_batch_size():
 
     with pytest.raises(ValueError):
         local_batch_size(10, mesh)
+
+
+def test_phase_deconv_hlo_is_collective_clean():
+    """deconv_impl=phase slices/interleaves along H and W only; the
+    sharded batch axis is untouched, so the 8-device step must stay as
+    resharding-free as the native path."""
+    from unflow_tpu.utils.hlo import (
+        RESHARDING_OPS,
+        collective_counts,
+        lower_train_step,
+    )
+
+    compiled = lower_train_step(8, spec="S", deconv_impl="phase")
+    counts = collective_counts(compiled.as_text())
+    bad = {k: v for k, v in counts.items() if k in RESHARDING_OPS}
+    assert not bad, f"GSPMD resharding in phase-deconv step: {counts}"
+    assert counts.get("all-reduce", 0) <= 4, counts
+    assert counts.get("all-gather", 0) == 0, counts

@@ -46,6 +46,7 @@ def lower_train_step(
     mask_occlusion: str = "fb",
     height: int = 64,
     width: int = 64,
+    deconv_impl: str = "native",
 ):
     """Compile the full train step over an n-device data mesh (abstractly).
 
@@ -73,6 +74,7 @@ def lower_train_step(
     t.batch_size = n_devices
     t.compute_dtype = "float32"
     t.mask_occlusion = mask_occlusion
+    t.deconv_impl = deconv_impl
 
     mesh = create_mesh(n_devices)
     model = build_model(cfg)
