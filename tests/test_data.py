@@ -175,6 +175,65 @@ def test_kitti_2012_enumeration(tmp_path, rng):
     assert len(ds.eval_examples("noc")) == 2
 
 
+def test_kitti_noc_breakdown_masks(tmp_path, rng):
+    """The occ eval variant attaches flow_noc; load_example derives
+    noc_mask = valid(flow_occ) & valid(flow_noc)."""
+    from unflow_tpu.data.base import load_example
+
+    base = tmp_path / "kitti_2012" / "training"
+    for sub in ("colored_0", "flow_occ", "flow_noc"):
+        (base / sub).mkdir(parents=True)
+    for suffix in ("10", "11"):
+        write_image(
+            base / "colored_0" / f"000000_{suffix}.png",
+            rng.rand(16, 32, 3).astype(np.float32),
+        )
+    flow = rng.randn(16, 32, 2).astype(np.float32)
+    valid_occ = np.ones((16, 32, 1), np.float32)
+    valid_occ[:2] = 0.0  # a few fully-invalid rows
+    valid_noc = valid_occ.copy()
+    valid_noc[8:] = 0.0  # bottom half occluded
+    write_kitti_png_flow(base / "flow_occ" / "000000_10.png", flow, valid_occ)
+    write_kitti_png_flow(base / "flow_noc" / "000000_10.png", flow, valid_noc)
+
+    ds = KITTI2012(tmp_path)
+    (ex,) = ds.eval_examples("occ")
+    assert ex.noc is not None and ex.noc.endswith("flow_noc/000000_10.png")
+    item = load_example(ex, target_hw=None, supervised=True)
+    np.testing.assert_array_equal(item["mask"], valid_occ)
+    np.testing.assert_array_equal(item["noc_mask"], valid_noc)
+    # the noc variant evaluates against flow_noc directly, no breakdown
+    (ex_noc,) = ds.eval_examples("noc")
+    assert ex_noc.noc is None
+
+
+def test_sintel_occlusion_mask(tmp_path, rng):
+    from unflow_tpu.data.base import load_example
+
+    base = tmp_path / "sintel" / "training"
+    for sub in ("clean/alley_1", "flow/alley_1", "occlusions/alley_1"):
+        (base / sub).mkdir(parents=True)
+    for i in (1, 2):
+        write_image(
+            base / "clean" / "alley_1" / f"frame_{i:04d}.png",
+            rng.rand(16, 32, 3).astype(np.float32),
+        )
+    write_flo(
+        base / "flow" / "alley_1" / "frame_0001.flo",
+        rng.randn(16, 32, 2).astype(np.float32),
+    )
+    occ = np.zeros((16, 32, 3), np.float32)
+    occ[:, 16:] = 1.0  # right half occluded (white)
+    write_image(base / "occlusions" / "alley_1" / "frame_0001.png", occ)
+
+    (ex,) = Sintel(tmp_path, render_pass="clean").eval_examples()
+    assert ex.noc_format == "occ_png" and ex.noc is not None
+    item = load_example(ex, target_hw=None, supervised=True)
+    expect = np.ones((16, 32, 1), np.float32)
+    expect[:, 16:] = 0.0
+    np.testing.assert_array_equal(item["noc_mask"], expect)
+
+
 def test_sintel_enumeration(tmp_path, rng):
     base = tmp_path / "sintel" / "training"
     (base / "clean" / "alley_1").mkdir(parents=True)

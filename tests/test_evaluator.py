@@ -57,3 +57,54 @@ def test_evaluator_end_to_end(tmp_path, rng):
     # predict() crops the /64 padding back off
     flow = evaluator.predict(im1, im2)
     assert flow.shape == (50, 70, 2)
+
+
+def test_evaluator_noc_occ_breakdown(tmp_path, rng):
+    """With a noc source attached, run() reports aee_noc / fl_noc /
+    aee_occ, and the all-pixel AEE is their pixel-weighted mean."""
+    import jax
+
+    from unflow_tpu.data.io import write_kitti_png_flow
+    from unflow_tpu.train import build_model
+
+    cfg = Config()
+    t = cfg.train
+    t.flownet = "S"
+    t.height, t.width = H, W
+    t.compute_dtype = "float32"
+    t.corr_impl = "jnp"
+
+    model = build_model(cfg)
+    sample = np.zeros((1, H, W, 3), np.float32)
+    params = model.init(jax.random.PRNGKey(0), sample, sample)["params"]
+
+    im1 = rng.rand(H, W, 3).astype(np.float32)
+    im2 = rng.rand(H, W, 3).astype(np.float32)
+    gt = (rng.randn(H, W, 2) * 3).astype(np.float32)
+    valid = np.ones((H, W, 1), np.float32)
+    noc_valid = valid.copy()
+    noc_valid[:, W // 4 :] = 0.0  # left quarter non-occluded
+    write_image(tmp_path / "a.png", im1)
+    write_image(tmp_path / "b.png", im2)
+    write_kitti_png_flow(tmp_path / "gt.png", gt, valid)
+    write_kitti_png_flow(tmp_path / "gt_noc.png", gt, noc_valid)
+
+    ex = Example(
+        im1=str(tmp_path / "a.png"), im2=str(tmp_path / "b.png"),
+        flow=str(tmp_path / "gt.png"), flow_format="kitti_png",
+        noc=str(tmp_path / "gt_noc.png"),
+    )
+    evaluator = Evaluator(cfg, tmp_path, params=params)
+    m = evaluator.run([ex])
+    for key in ("aee_noc", "fl_noc", "aee_occ"):
+        assert key in m and np.isfinite(m[key]), m
+    n_noc, n_occ = float(noc_valid.sum()), float((valid - noc_valid).sum())
+    weighted = (m["aee_noc"] * n_noc + m["aee_occ"] * n_occ) / (n_noc + n_occ)
+    np.testing.assert_allclose(m["aee"], weighted, rtol=1e-5)
+
+    # without a noc source the breakdown keys stay absent
+    ex_plain = Example(
+        im1=ex.im1, im2=ex.im2, flow=ex.flow, flow_format="kitti_png"
+    )
+    m2 = evaluator.run([ex_plain])
+    assert "aee_noc" not in m2 and "aee_occ" not in m2

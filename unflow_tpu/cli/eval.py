@@ -54,10 +54,17 @@ def main(argv=None) -> int:
         examples, max_examples=args.num,
         output_dir=args.output, output_format=args.format,
     )
-    print(
+    line = (
         f"{args.dataset}{'/' + args.variant if args.variant else ''}: "
         f"AEE={metrics['aee']:.4f} Fl={metrics['fl'] * 100:.2f}% (n={metrics['n']})"
     )
+    if "aee_noc" in metrics:  # occ/noc breakdown (flow_noc / occlusion masks)
+        line += (
+            f" | noc: AEE={metrics['aee_noc']:.4f} Fl={metrics['fl_noc'] * 100:.2f}%"
+        )
+    if "aee_occ" in metrics:
+        line += f" | occ-only: AEE={metrics['aee_occ']:.4f}"
+    print(line)
 
     if args.gui:
         from unflow_tpu.eval.gui import display

@@ -34,12 +34,23 @@ from unflow_tpu.data.io import (
 
 @dataclass(frozen=True)
 class Example:
-    """One frame pair, optionally with ground truth."""
+    """One frame pair, optionally with ground truth.
+
+    ``noc`` optionally points at a non-occluded-region source so eval can
+    report occ/noc AEE breakdowns in one pass (reference: eval_gui's
+    occluded/non-occluded metrics, SURVEY.md §2.2 P18):
+    - ``noc_format="kitti_png"``: a KITTI ``flow_noc`` 16-bit PNG whose
+      validity channel marks valid AND non-occluded pixels;
+    - ``noc_format="occ_png"``: a Sintel ``occlusions/`` 8-bit mask where
+      white (>0.5) = occluded.
+    """
 
     im1: str
     im2: str
     flow: str | None = None  # .flo or KITTI 16-bit png
     flow_format: str = "flo"  # "flo" | "kitti_png"
+    noc: str | None = None
+    noc_format: str = "kitti_png"  # "kitti_png" | "occ_png"
     meta: dict = field(default_factory=dict)
 
 
@@ -152,6 +163,15 @@ def load_example(
             flow = read_flo(ex.flow)
             valid = np.ones(flow.shape[:2] + (1,), np.float32)
         out["flow"], out["mask"] = flow, valid
+        if ex.noc is not None:
+            if ex.noc_format == "kitti_png":
+                _, noc_valid = read_kitti_png_flow(ex.noc)
+                out["noc_mask"] = valid * noc_valid
+            elif ex.noc_format == "occ_png":
+                occ = read_image(ex.noc)
+                out["noc_mask"] = valid * (occ[..., :1] < 0.5).astype(np.float32)
+            else:
+                raise ValueError(f"unknown noc format {ex.noc_format!r}")
     if target_hw is not None:
         if mode == "resize":
             im1 = resize_to_shape(im1, target_hw)
@@ -162,12 +182,18 @@ def load_example(
                 out["mask"] = (
                     resize_to_shape(out["mask"], target_hw) > 0.999
                 ).astype(np.float32)
+                if "noc_mask" in out:
+                    out["noc_mask"] = (
+                        resize_to_shape(out["noc_mask"], target_hw) > 0.999
+                    ).astype(np.float32)
         elif mode == "crop_pad":
             im1 = fit_to_shape(im1, target_hw)
             im2 = fit_to_shape(im2, target_hw)
             if supervised:
                 out["flow"] = fit_to_shape(out["flow"], target_hw)
                 out["mask"] = fit_to_shape(out["mask"], target_hw)
+                if "noc_mask" in out:
+                    out["noc_mask"] = fit_to_shape(out["noc_mask"], target_hw)
         else:
             raise ValueError(f"unknown load mode {mode!r}")
     out["im1"], out["im2"] = im1, im2

@@ -156,18 +156,23 @@ class KITTI2012(PairDataset):
             f"{self.name} training set with flow_occ GT.",
         )
 
-    def _examples(self, flow_subdir: str) -> list[Example]:
+    def _examples(
+        self, flow_subdir: str, noc_subdir: str | None = None
+    ) -> list[Example]:
         root = self._root()
         examples = []
         for gt in sorted((root / flow_subdir).glob("*_10.png")):
             frame_id = gt.name[: -len("_10.png")]
             im1 = root / self.image_dir / f"{frame_id}_10.png"
             im2 = root / self.image_dir / f"{frame_id}_11.png"
+            noc = root / noc_subdir / gt.name if noc_subdir else None
             if im1.exists() and im2.exists():
                 examples.append(
                     Example(
                         im1=str(im1), im2=str(im2), flow=str(gt),
-                        flow_format="kitti_png", meta={"id": frame_id},
+                        flow_format="kitti_png",
+                        noc=str(noc) if noc is not None and noc.exists() else None,
+                        meta={"id": frame_id},
                     )
                 )
         if not examples:
@@ -179,7 +184,11 @@ class KITTI2012(PairDataset):
 
     def eval_examples(self, variant: str | None = "occ") -> list[Example]:
         # occ = all pixels (occluded included), noc = non-occluded only.
-        return self._examples(f"flow_{variant or 'occ'}")
+        # The occ variant also attaches flow_noc (when present) so the
+        # evaluator can report the noc/occ AEE breakdown in one pass.
+        variant = variant or "occ"
+        noc_subdir = "flow_noc" if variant == "occ" else None
+        return self._examples(f"flow_{variant}", noc_subdir=noc_subdir)
 
 
 class KITTI2015(KITTI2012):

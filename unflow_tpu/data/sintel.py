@@ -34,11 +34,16 @@ class Sintel(PairDataset):
                 flow = root / "flow" / scene.name / (a.stem + ".flo")
                 if with_gt and not flow.exists():
                     continue
+                # Official occlusion masks (white = occluded) enable the
+                # evaluator's noc/occ AEE breakdown when present.
+                occ = root / "occlusions" / scene.name / (a.stem + ".png")
                 examples.append(
                     Example(
                         im1=str(a), im2=str(b),
                         flow=str(flow) if flow.exists() else None,
                         flow_format="flo",
+                        noc=str(occ) if flow.exists() and occ.exists() else None,
+                        noc_format="occ_png",
                         meta={"scene": scene.name},
                     )
                 )

@@ -73,11 +73,20 @@ class Evaluator:
         output_dir: str | Path | None = None,
         output_format: str = "flo",  # flo | kitti_png | viz
     ) -> dict:
-        """Returns {'aee': ..., 'fl': ..., 'n': ...} over valid pixels."""
+        """Returns {'aee': ..., 'fl': ..., 'n': ...} over valid pixels.
+
+        When examples carry a non-occluded-region source (KITTI flow_noc
+        validity / Sintel occlusion masks — ``Example.noc``), also returns
+        the reference eval_gui's breakdowns: ``aee_noc`` / ``fl_noc``
+        (valid & non-occluded) and ``aee_occ`` (valid & occluded); each is
+        a per-image mean over the images where that region is non-empty.
+        """
         out_dir = Path(output_dir) if output_dir else None
         if out_dir:
             out_dir.mkdir(parents=True, exist_ok=True)
         aee_sum = fl_sum = 0.0
+        noc_sums = {"aee_noc": 0.0, "fl_noc": 0.0, "aee_occ": 0.0}
+        noc_counts = {"aee_noc": 0, "fl_noc": 0, "aee_occ": 0}
         n = 0
         for i, ex in enumerate(examples):
             if max_examples is not None and i >= max_examples:
@@ -90,6 +99,17 @@ class Evaluator:
                 pred = jnp.asarray(flow[None])
                 aee_sum += float(flow_error_avg(pred, gt, mask))
                 fl_sum += float(outlier_fraction(pred, gt, mask))
+                if "noc_mask" in item:
+                    noc = jnp.asarray(item["noc_mask"][None])
+                    occ = mask * (1.0 - noc)
+                    for key, m, fn in (
+                        ("aee_noc", noc, flow_error_avg),
+                        ("fl_noc", noc, outlier_fraction),
+                        ("aee_occ", occ, flow_error_avg),
+                    ):
+                        if float(jnp.sum(m)) > 0:
+                            noc_sums[key] += float(fn(pred, gt, m))
+                            noc_counts[key] += 1
             n += 1
             if out_dir:
                 stem = ex.meta.get("id") or ex.meta.get("scene") or f"{i:06d}"
@@ -109,8 +129,12 @@ class Evaluator:
         if n == 0:
             raise ValueError("no examples evaluated")
         has_gt = any(ex.flow is not None for ex in examples[:n])
-        return {
+        result = {
             "aee": aee_sum / n if has_gt else float("nan"),
             "fl": fl_sum / n if has_gt else float("nan"),
             "n": n,
         }
+        for key, count in noc_counts.items():
+            if count:
+                result[key] = noc_sums[key] / count
+        return result
