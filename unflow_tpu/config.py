@@ -33,6 +33,9 @@ class TrainConfig:
     # Image summaries (flow color / warped frame / occlusion mask PNGs,
     # reference tf.summary images): 0 = every display_interval, -1 = off.
     image_summary_interval: int = 0
+    # Mirror scalar + image summaries into a TensorBoard tfevents file
+    # under <exp_dir>/tb/ (dependency-free writer, utils/tensorboard.py).
+    tensorboard: bool = False
     eval_interval: int = 0  # 0 = no in-training eval
     # loss-term weights (reference config keys like ternary_weight)
     occ_weight: float = 12.4

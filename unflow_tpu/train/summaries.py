@@ -35,9 +35,13 @@ class ImageSummaryWriter:
     """Writes PNG grids (im1, im2, flow_fw/bw color, warped im2,
     brightness error, occlusion mask) for the current train batch."""
 
-    def __init__(self, exp_dir, model, normalization, max_examples: int = 2):
+    def __init__(
+        self, exp_dir, model, normalization, max_examples: int = 2,
+        event_writer=None,
+    ):
         self._dir = Path(exp_dir) / "summaries"
         self._max = max_examples
+        self._tb = event_writer  # optional utils.tensorboard.EventWriter
         mean, stddev = normalization
 
         @jax.jit
@@ -77,19 +81,21 @@ class ImageSummaryWriter:
         )
         out = self._dir / f"step_{step:08d}"
         out.mkdir(parents=True, exist_ok=True)
-        write_image(out / "im1.png", _grid(np.asarray(im1)))
-        write_image(out / "im2.png", _grid(np.asarray(im2)))
-        write_image(
-            out / "flow_fw.png",
-            _grid(np.stack([flow_to_color(f) for f in flow_fw])),
-        )
-        write_image(
-            out / "flow_bw.png",
-            _grid(np.stack([flow_to_color(f) for f in flow_bw])),
-        )
-        write_image(out / "im2_warped.png", _grid(np.clip(warped, 0.0, 1.0)))
-        write_image(out / "error.png", _grid(np.clip(err, 0.0, 1.0)))
-        write_image(out / "occ_mask.png", _grid(np.repeat(occ, 3, axis=-1)))
+        grids = {
+            "im1": _grid(np.asarray(im1)),
+            "im2": _grid(np.asarray(im2)),
+            "flow_fw": _grid(np.stack([flow_to_color(f) for f in flow_fw])),
+            "flow_bw": _grid(np.stack([flow_to_color(f) for f in flow_bw])),
+            "im2_warped": _grid(np.clip(warped, 0.0, 1.0)),
+            "error": _grid(np.clip(err, 0.0, 1.0)),
+            "occ_mask": _grid(np.repeat(occ, 3, axis=-1)),
+        }
+        for name, grid in grids.items():
+            write_image(out / f"{name}.png", grid)
+            if self._tb is not None:
+                self._tb.image(name, grid, step)
+        if self._tb is not None:
+            self._tb.flush()
         return out
 
 

@@ -273,6 +273,13 @@ class Trainer:
         step_fn = make_train_step(self.model, self.tx, cfg, normalization)
         self._step = jax.jit(step_fn, donate_argnums=(0,))
         self.logger = MetricsLogger(self.exp_dir)
+        # Optional TensorBoard mirror (reference: tf.summary scalars +
+        # images). JSONL stays authoritative; tb/ is a view.
+        self._tb = None
+        if t.tensorboard:
+            from unflow_tpu.utils.tensorboard import EventWriter
+
+            self._tb = EventWriter(self.exp_dir / "tb")
         # Image summaries (reference: tf.summary images at display
         # cadence); interval 0 follows display_interval, -1 disables.
         self._summary_interval = (
@@ -281,7 +288,9 @@ class Trainer:
             else t.image_summary_interval
         )
         self._summaries = (
-            ImageSummaryWriter(self.exp_dir, self.model, normalization)
+            ImageSummaryWriter(
+                self.exp_dir, self.model, normalization, event_writer=self._tb
+            )
             if self._summary_interval > 0
             else None
         )
@@ -322,16 +331,20 @@ class Trainer:
                 now = time.perf_counter()
                 throughput = pairs_accum / max(now - t_last, 1e-9)
                 pairs_accum, t_last = 0, now
-                self.logger.log(
-                    step,
-                    {**{k: v for k, v in logs.items()},
-                     "pairs_per_sec": throughput},
-                )
+                record = {**{k: v for k, v in logs.items()},
+                          "pairs_per_sec": throughput}
+                self.logger.log(step, record)
+                if self._tb is not None:
+                    self._tb.scalars(record, step)
+                    self._tb.flush()
             if self._summaries is not None and step % self._summary_interval == 0:
                 self._summaries.write(step, self.state.params, batch)
             if self.eval_fn is not None and t.eval_interval and step % t.eval_interval == 0:
                 metrics = self.eval_fn(self.state.params)
-                self.logger.log(step, {f"eval/{k}": v for k, v in metrics.items()})
+                eval_record = {f"eval/{k}": v for k, v in metrics.items()}
+                self.logger.log(step, eval_record)
+                if self._tb is not None:
+                    self._tb.scalars(eval_record, step)
             if step % t.save_interval == 0 or step >= target:
                 self.ckpt.save(step, jax.device_get(self.state))
         self.ckpt.save(self.step, jax.device_get(self.state), wait=True)
