@@ -27,11 +27,18 @@ from unflow_tpu.train.trainer import DEFAULT_NORMALIZATION
 
 
 def build_batches_and_norm(cfg: Config):
+    from unflow_tpu.parallel import per_process_batch_size, process_shard
+
     t = cfg.train
+    # Multi-host: batch_size stays the GLOBAL batch; each process loads
+    # its contiguous slice (parallel.distributed + Loader shard).
+    shard = process_shard()
+    local_bs = per_process_batch_size(t.batch_size)
     if t.dataset == "synthetic":
         return (
             synthetic_batches(
-                t.batch_size, t.height, t.width, seed=t.seed, supervised=t.supervised
+                local_bs, t.height, t.width,
+                seed=t.seed + shard[0], supervised=t.supervised,
             ),
             DEFAULT_NORMALIZATION,
         )
@@ -50,12 +57,13 @@ def build_batches_and_norm(cfg: Config):
         examples = dataset.train_examples()
     loader = Loader(
         examples,
-        batch_size=t.batch_size,
+        batch_size=local_bs,
         load_hw=(t.height, t.width),
         supervised=t.supervised,
         seed=t.seed,
         num_threads=t.num_threads,
         mode=t.input_mode,
+        shard=shard,
         # uint8 frames to the device; the jitted step converts f32/255
         # (exact) — quarter the decode-side work and transfer bytes.
         image_dtype="uint8" if t.input_mode == "crop_pad" else "float32",
@@ -131,6 +139,12 @@ def main(argv=None) -> int:
     )
     ap.add_argument("--debug", action="store_true", help="tiny smoke run")
     args = ap.parse_args(argv)
+
+    # Multi-host TPU pods: wires the coordination service when a
+    # coordinator address is configured; no-op on single hosts.
+    from unflow_tpu.parallel import init_distributed
+
+    init_distributed()
 
     cfg = load_config(args.config) if args.config else Config()
     for kv in args.set:

@@ -223,6 +223,7 @@ class Loader:
         loop: bool = True,
         mode: str = "crop_pad",
         image_dtype: str = "float32",
+        shard: tuple[int, int] = (0, 1),
     ):
         if not len(examples):
             raise ValueError("empty example list")
@@ -246,6 +247,15 @@ class Loader:
         self.loop = loop
         self.mode = mode
         self.image_dtype = image_dtype
+        # Multi-host sharding (parallel.distributed): every process runs
+        # the SAME per-epoch shuffle (same seed), forms global batches of
+        # batch_size * shard_count, and decodes only its contiguous slice
+        # — so the union across hosts is exactly the single-host stream
+        # and resume stays deterministic.
+        index, count = shard
+        if not (0 <= index < count):
+            raise ValueError(f"bad shard {shard}")
+        self.shard = (index, count)
 
     def _epoch_order(self, epoch: int) -> np.ndarray:
         idx = np.arange(len(self.examples))
@@ -254,13 +264,17 @@ class Loader:
         return idx
 
     def _batch_indices(self) -> Iterator[np.ndarray]:
-        """Deterministic stream of per-batch example indices."""
+        """Deterministic stream of per-batch example indices (this
+        process's slice of each global batch when sharded)."""
+        index, count = self.shard
+        global_bs = self.batch_size * count
         epoch = 0
         while True:
             order = self._epoch_order(epoch)
-            n_full = len(order) // self.batch_size
+            n_full = len(order) // global_bs
             for b in range(n_full):
-                yield order[b * self.batch_size : (b + 1) * self.batch_size]
+                g = order[b * global_bs : (b + 1) * global_bs]
+                yield g[index * self.batch_size : (index + 1) * self.batch_size]
             if not self.loop:
                 return
             epoch += 1

@@ -65,12 +65,25 @@ def local_batch_size(global_batch: int, mesh: Mesh) -> int:
     return global_batch // n
 
 
+from unflow_tpu.parallel.distributed import (  # noqa: E402
+    init_distributed,
+    is_lead_process,
+    per_process_batch_size,
+    process_shard,
+    put_global_batch,
+)
+
 __all__ = [
     "create_mesh",
     "batch_sharding",
     "replicated",
     "shard_batch",
     "local_batch_size",
+    "init_distributed",
+    "is_lead_process",
+    "per_process_batch_size",
+    "process_shard",
+    "put_global_batch",
     "Mesh",
     "NamedSharding",
     "P",

@@ -35,7 +35,13 @@ from unflow_tpu.augment import (
 from unflow_tpu.config import Config
 from unflow_tpu.losses import supervised_loss, unsupervised_loss
 from unflow_tpu.models import FlowNetStack, param_labels
-from unflow_tpu.parallel import batch_sharding, create_mesh, replicated
+from unflow_tpu.parallel import (
+    batch_sharding,
+    create_mesh,
+    is_lead_process,
+    put_global_batch,
+    replicated,
+)
 from unflow_tpu.train.checkpoint import CheckpointManager, init_stages_from
 from unflow_tpu.train.schedule import piecewise_halving
 from unflow_tpu.train.summaries import ImageSummaryWriter
@@ -272,11 +278,14 @@ class Trainer:
 
         step_fn = make_train_step(self.model, self.tx, cfg, normalization)
         self._step = jax.jit(step_fn, donate_argnums=(0,))
-        self.logger = MetricsLogger(self.exp_dir)
+        # Multi-host: only the lead process owns filesystem side effects
+        # (metrics/summaries/checkpoints live on a shared FS on TPU pods).
+        self._lead = is_lead_process()
+        self.logger = MetricsLogger(self.exp_dir) if self._lead else None
         # Optional TensorBoard mirror (reference: tf.summary scalars +
         # images). JSONL stays authoritative; tb/ is a view.
         self._tb = None
-        if t.tensorboard:
+        if t.tensorboard and self._lead:
             from unflow_tpu.utils.tensorboard import EventWriter
 
             self._tb = EventWriter(self.exp_dir / "tb")
@@ -291,7 +300,7 @@ class Trainer:
             ImageSummaryWriter(
                 self.exp_dir, self.model, normalization, event_writer=self._tb
             )
-            if self._summary_interval > 0
+            if self._summary_interval > 0 and self._lead
             else None
         )
         # Periodic in-training evaluation on a held-out split (reference:
@@ -303,9 +312,9 @@ class Trainer:
         return int(self.state.step)
 
     def _put_batch(self, batch: dict) -> dict:
-        return {
-            k: jax.device_put(v, self._batch_sharding) for k, v in batch.items()
-        }
+        # Single-host: sharded device_put. Multi-host: this process's
+        # local rows assemble into the global batch (parallel.distributed).
+        return put_global_batch(batch, self.mesh, self._batch_sharding)
 
     def run(self, max_iters: int | None = None) -> dict:
         """Train until cfg.train.num_iters (or max_iters), checkpointing.
@@ -331,21 +340,24 @@ class Trainer:
                 now = time.perf_counter()
                 throughput = pairs_accum / max(now - t_last, 1e-9)
                 pairs_accum, t_last = 0, now
-                record = {**{k: v for k, v in logs.items()},
-                          "pairs_per_sec": throughput}
-                self.logger.log(step, record)
-                if self._tb is not None:
-                    self._tb.scalars(record, step)
-                    self._tb.flush()
+                if self.logger is not None:
+                    record = {**{k: v for k, v in logs.items()},
+                              "pairs_per_sec": throughput}
+                    self.logger.log(step, record)
+                    if self._tb is not None:
+                        self._tb.scalars(record, step)
+                        self._tb.flush()
             if self._summaries is not None and step % self._summary_interval == 0:
                 self._summaries.write(step, self.state.params, batch)
             if self.eval_fn is not None and t.eval_interval and step % t.eval_interval == 0:
                 metrics = self.eval_fn(self.state.params)
-                eval_record = {f"eval/{k}": v for k, v in metrics.items()}
-                self.logger.log(step, eval_record)
-                if self._tb is not None:
-                    self._tb.scalars(eval_record, step)
-            if step % t.save_interval == 0 or step >= target:
+                if self.logger is not None:
+                    eval_record = {f"eval/{k}": v for k, v in metrics.items()}
+                    self.logger.log(step, eval_record)
+                    if self._tb is not None:
+                        self._tb.scalars(eval_record, step)
+            if (step % t.save_interval == 0 or step >= target) and self._lead:
                 self.ckpt.save(step, jax.device_get(self.state))
-        self.ckpt.save(self.step, jax.device_get(self.state), wait=True)
+        if self._lead:
+            self.ckpt.save(self.step, jax.device_get(self.state), wait=True)
         return {k: float(v) for k, v in logs.items()}
