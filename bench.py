@@ -32,7 +32,35 @@ WARMUP = 3
 ITERS = 10
 
 
+def _probe_backend(timeout_s: float = 240.0) -> None:
+    """Fail fast (rc=1) if the TPU backend is unreachable.
+
+    On this environment the axon relay can go down for hours; backend
+    init then blocks forever in a retry loop, which would hang the
+    driver instead of recording a clean failure. Device listing never
+    compiles anything, so a generous subprocess timeout is safe.
+    """
+    import subprocess
+    import sys
+
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=timeout_s,
+            capture_output=True,
+        )
+        if proc.returncode == 0:
+            return
+        detail = proc.stderr.decode(errors="replace")[-500:]
+    except subprocess.TimeoutExpired:
+        detail = f"device listing did not return within {timeout_s:.0f}s"
+    print(f"bench.py: backend unreachable, not benchmarking: {detail}", file=sys.stderr)
+    sys.exit(1)
+
+
 def main() -> None:
+    _probe_backend()
+
     from unflow_tpu.config import Config
     from unflow_tpu.data.synthetic import batch_iterator
     from unflow_tpu.train import TrainState, build_model, build_optimizer, make_train_step

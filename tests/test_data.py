@@ -254,6 +254,20 @@ def test_sintel_enumeration(tmp_path, rng):
     with pytest.raises(ValueError):
         Sintel(tmp_path, render_pass="bogus")
 
+    # Final-pass training via the dataset registry (train CLI has no
+    # variant flag; `dataset = sintel_final` selects the final render).
+    from unflow_tpu.data import get_dataset
+
+    (base / "final" / "alley_1").mkdir(parents=True)
+    for i in (1, 2, 3):
+        write_image(
+            base / "final" / "alley_1" / f"frame_{i:04d}.png",
+            rng.rand(16, 32, 3).astype(np.float32),
+        )
+    ds_final = get_dataset("sintel_final", tmp_path)
+    assert ds_final.render_pass == "final"
+    assert len(ds_final.train_examples()) == 2
+
 
 def test_chairs_enumeration_and_split(tmp_path, rng):
     d = tmp_path / "chairs" / "data"

@@ -171,3 +171,58 @@ def test_phase_deconv_matches_native():
     out_phase = phase.apply({"params": p_native}, x)  # cross-impl params
     for a, b in zip(out_native, out_phase):
         np.testing.assert_allclose(a, b, rtol=0, atol=2e-5)
+
+
+def test_remat_stack_matches_plain():
+    """remat=True is a pure memory/schedule choice: identical param tree,
+    identical outputs, identical gradients (per-stage jax.checkpoint
+    recomputes activations in the backward pass)."""
+    import chex
+
+    rng = np.random.RandomState(3)
+    im1 = jnp.asarray(rng.rand(2, H, W, 3).astype(np.float32))
+    im2 = jnp.asarray(rng.rand(2, H, W, 3).astype(np.float32))
+    kw = dict(spec="CS", compute_dtype=jnp.float32, corr_impl="jnp",
+              max_displacement=4)
+    plain = FlowNetStack(**kw)
+    remat = FlowNetStack(remat=True, **kw)
+    p_plain = plain.init(jax.random.PRNGKey(1), im1, im2)["params"]
+    p_remat = remat.init(jax.random.PRNGKey(1), im1, im2)["params"]
+    chex.assert_trees_all_equal(p_plain, p_remat)
+
+    def loss(model):
+        def fn(params):
+            stages = model.apply({"params": params}, im1, im2,
+                                 pair_flipped_im2=False)
+            return sum(jnp.sum(jnp.square(f)) for st in stages for f in st)
+        return fn
+
+    l_plain, g_plain = jax.value_and_grad(loss(plain))(p_plain)
+    l_remat, g_remat = jax.value_and_grad(loss(remat))(p_plain)
+    np.testing.assert_allclose(float(l_remat), float(l_plain), rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(g_plain),
+                    jax.tree_util.tree_leaves(g_remat)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_remat_bidirectional_pair_flip_static():
+    """The pair_flipped_im2 bool stays a STATIC arg under nn.remat
+    (it branches the tower structure; tracing it would fail)."""
+    rng = np.random.RandomState(4)
+    n1 = jnp.asarray(rng.rand(2, H, W, 3).astype(np.float32))
+    n2 = jnp.asarray(rng.rand(2, H, W, 3).astype(np.float32))
+    im1 = jnp.stack([n1, n2], 1).reshape(4, H, W, 3)
+    im2 = jnp.stack([n2, n1], 1).reshape(4, H, W, 3)
+    model = FlowNetStack(spec="C", compute_dtype=jnp.float32,
+                         corr_impl="jnp", max_displacement=4, remat=True)
+    params = model.init(jax.random.PRNGKey(2), im1, im2)
+    ref = model.apply(params, im1, im2)
+    dedup = jax.jit(
+        lambda p, a, b: model.apply(p, a, b, pair_flipped_im2=True)
+    )(params, im1, im2)
+    for st_ref, st_dedup in zip(ref, dedup):
+        for f_ref, f_dedup in zip(st_ref, st_dedup):
+            np.testing.assert_allclose(
+                np.asarray(f_dedup), np.asarray(f_ref), rtol=0, atol=1e-5
+            )

@@ -84,6 +84,10 @@ class TrainConfig:
     # "phase" (dense 2x2-conv phase decomposition, models/flownet.py::
     # _PhaseDeconv — mathematically identical, checkpoint-compatible).
     deconv_impl: str = "native"
+    # Per-stage rematerialization (jax.checkpoint): recompute stage
+    # activations in the backward pass instead of holding them in HBM —
+    # enables bigger crops/batches/cascades at ~+1 forward of FLOPs.
+    remat: bool = False
     num_devices: int = 0  # 0 = all visible
     spatial_shards: int = 1
     seed: int = 0

@@ -12,6 +12,7 @@ DATASETS = {
     "kitti_2012": KITTI2012,
     "kitti_2015": KITTI2015,
     "sintel": Sintel,
+    "sintel_final": lambda data_dir, **kw: Sintel(data_dir, render_pass="final", **kw),
     "synthia": Synthia,
     "chairs": FlyingChairs,
     "middlebury": Middlebury,

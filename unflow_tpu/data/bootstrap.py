@@ -213,6 +213,10 @@ MANIFESTS: dict[str, DatasetManifest] = {
     ),
 }
 
+# The final render pass ships in the same MPI-Sintel archive; the
+# dataset-registry alias shares its manifest.
+MANIFESTS["sintel_final"] = MANIFESTS["sintel"]
+
 
 def override_manifest(name: str, manifest: DatasetManifest) -> None:
     """Replace a dataset's manifest (local mirrors, full drive lists)."""

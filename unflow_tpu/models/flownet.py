@@ -305,6 +305,7 @@ class FlowNetStack(nn.Module):
     max_displacement: int = 20
     corr_stride: int = 2
     deconv_impl: str = "native"
+    remat: bool = False
 
     @nn.compact
     def __call__(
@@ -315,6 +316,19 @@ class FlowNetStack(nn.Module):
     ) -> list[list[jax.Array]]:
         if not self.spec or self.spec[0].upper() not in ("C", "S"):
             raise ValueError(f"bad stack spec {self.spec!r}")
+        # Per-stage rematerialization: the backward pass recomputes each
+        # stage's activations from its inputs instead of keeping them
+        # live across the whole cascade — HBM for FLOPs, the standard
+        # trade for giant crops / deep stacks (param tree is unchanged,
+        # so checkpoints are interchangeable). prevent_cse=False: the
+        # model only ever runs under jit, where CSE protection is
+        # unnecessary and pessimizes the schedule.
+        CNet, SNet = FlowNetC, FlowNetS
+        if self.remat:
+            # static_argnums counts self at 0: pair_flipped_im2 is arg 3
+            # (a Python bool branching the tower structure).
+            CNet = nn.remat(FlowNetC, static_argnums=(3,), prevent_cse=False)
+            SNet = nn.remat(FlowNetS, prevent_cse=False)
         b, h, w, _ = im1.shape
         stage_flows: list[list[jax.Array]] = []
         flow_prev = None
@@ -323,15 +337,15 @@ class FlowNetStack(nn.Module):
             name = f"stage{i}_{kind}"
             if i == 0:
                 if kind == "C":
-                    flows = FlowNetC(
+                    flows = CNet(
                         compute_dtype=self.compute_dtype,
                         corr_impl=self.corr_impl,
                         max_displacement=self.max_displacement,
                         corr_stride=self.corr_stride,
                         deconv_impl=self.deconv_impl, name=name,
-                    )(im1, im2, pair_flipped_im2=pair_flipped_im2)
+                    )(im1, im2, pair_flipped_im2)
                 else:
-                    flows = FlowNetS(
+                    flows = SNet(
                         compute_dtype=self.compute_dtype,
                         deconv_impl=self.deconv_impl, name=name,
                     )(jnp.concatenate([im1, im2], -1))
@@ -373,7 +387,7 @@ class FlowNetStack(nn.Module):
                     ],
                     -1,
                 )
-                flows = FlowNetS(
+                flows = SNet(
                     compute_dtype=self.compute_dtype,
                     deconv_impl=self.deconv_impl, name=name,
                 )(x)

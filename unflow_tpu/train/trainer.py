@@ -66,6 +66,7 @@ def build_model(cfg: Config) -> FlowNetStack:
         max_displacement=t.max_displacement,
         corr_stride=t.corr_stride,
         deconv_impl=t.deconv_impl,
+        remat=t.remat,
     )
 
 
