@@ -59,7 +59,7 @@ def main() -> None:
     batch = next(batch_iterator(t.batch_size, 64, 64, seed=0))
     local = per_process_batch_size(t.batch_size)
     local_batch = {k: v[pid * local : (pid + 1) * local] for k, v in batch.items()}
-    global_batch = put_global_batch(local_batch, mesh, batch_sharding(mesh))
+    global_batch = put_global_batch(local_batch, batch_sharding(mesh))
     assert global_batch["im1"].shape[0] == t.batch_size
 
     step = jax.jit(make_train_step(model, tx, cfg), donate_argnums=(0,))

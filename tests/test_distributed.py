@@ -72,7 +72,7 @@ def test_put_global_batch_single_process():
     mesh = create_mesh(8)
     sharding = batch_sharding(mesh)
     batch = {"im1": np.arange(8 * 4, dtype=np.float32).reshape(8, 4)}
-    out = put_global_batch(batch, mesh, sharding)
+    out = put_global_batch(batch, sharding)
     assert out["im1"].sharding == sharding
     np.testing.assert_array_equal(np.asarray(out["im1"]), batch["im1"])
 
@@ -109,7 +109,7 @@ def test_two_process_train_step(tmp_path):
     state = TrainState(jnp.zeros((), jnp.int32), params, tx.init(params))
     state = jax.device_put(state, replicated(mesh))
     batch = put_global_batch(
-        next(batch_iterator(8, 64, 64, seed=0)), mesh, batch_sharding(mesh)
+        next(batch_iterator(8, 64, 64, seed=0)), batch_sharding(mesh)
     )
     step = jax.jit(make_train_step(model, tx, cfg), donate_argnums=(0,))
     _, logs = step(state, batch, jax.random.PRNGKey(0))

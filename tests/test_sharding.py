@@ -161,3 +161,58 @@ def test_phase_deconv_hlo_is_collective_clean():
     assert not bad, f"GSPMD resharding in phase-deconv step: {counts}"
     assert counts.get("all-reduce", 0) <= 4, counts
     assert counts.get("all-gather", 0) == 0, counts
+
+
+def test_chunked_gather_hlo_is_collective_clean(monkeypatch):
+    """Gather-cliff chunking (ops/warp.py) must be disabled under a
+    sharded batch axis: GSPMD retiles every batch slice over the full
+    mesh even when chunk boundaries land on shard boundaries (measured:
+    42 all-to-alls + 708 collective-permutes in the warp VJP at 8
+    aligned chunks x 8 devices). With the shard granularity declared,
+    the warp must lower collective-clean even when the byte target says
+    'chunk'."""
+    import re
+
+    import jax
+
+    from unflow_tpu.ops import warp
+    from unflow_tpu.parallel import batch_sharding
+    from unflow_tpu.utils.hlo import RESHARDING_OPS
+
+    monkeypatch.setattr(warp, "_GATHER_CHUNK_BYTES", 1024)  # force chunking
+    monkeypatch.setattr(warp, "_GATHER_SHARD_GRANULARITY", 8)
+    mesh = create_mesh(8)
+    sh = batch_sharding(mesh)
+    rng = np.random.RandomState(0)
+    im = jax.device_put(jnp.asarray(rng.rand(16, 32, 64, 3).astype(np.float32)), sh)
+    fl = jax.device_put(jnp.asarray(rng.randn(16, 32, 64, 2).astype(np.float32)), sh)
+
+    def loss_grads(a, b):
+        return jax.grad(
+            lambda x, y: jnp.sum(warp.backward_warp_packed(x, y) ** 2),
+            argnums=(0, 1),
+        )(a, b)
+
+    txt = jax.jit(loss_grads).lower(im, fl).compile().as_text()
+    counts = {k: len(re.findall(k, txt)) for k in RESHARDING_OPS}
+    assert not any(counts.values()), f"resharding in chunked warp: {counts}"
+
+
+def test_gather_chunk_selection():
+    from unflow_tpu.ops import warp
+
+    # unsharded: smallest divisor of b covering the byte target
+    # (equal chunks only — uneven ceil-splits pessimize layouts)
+    assert warp._pick_n_chunks(16, 1) == 1
+    old = warp._GATHER_SHARD_GRANULARITY
+    try:
+        warp.set_gather_shard_granularity(1)
+        assert warp._pick_n_chunks(16, warp._GATHER_CHUNK_BYTES * 2) == 2
+        assert warp._pick_n_chunks(12, warp._GATHER_CHUNK_BYTES * 5) == 6
+        # sharded batch: chunking off entirely (any slice reshards; the
+        # cliff is per-device and each device already holds bytes/g)
+        warp.set_gather_shard_granularity(8)
+        assert warp._pick_n_chunks(16, warp._GATHER_CHUNK_BYTES * 2) == 1
+        assert warp._pick_n_chunks(16, warp._GATHER_CHUNK_BYTES * 17) == 1
+    finally:
+        warp.set_gather_shard_granularity(old)

@@ -88,6 +88,34 @@ def test_image_summaries_written(tmp_path):
     assert expected <= {p.name for p in out.iterdir()}
 
 
+def test_image_summaries_uint8_batch_matches_f32(tmp_path):
+    """The uint8 fast-path batch must produce the same summary images as
+    its f32/255 equivalent (the summary forward needs the same exact
+    conversion the train step applies)."""
+    from unflow_tpu.data.io import read_image
+    from unflow_tpu.train.summaries import ImageSummaryWriter
+    from unflow_tpu.train.trainer import DEFAULT_NORMALIZATION, build_model
+
+    cfg = tiny_config(tmp_path)
+    model = build_model(cfg)
+    rng = np.random.RandomState(0)
+    u8 = {k: rng.randint(0, 256, (2, H, W, 3), np.uint8) for k in ("im1", "im2")}
+    f32 = {k: v.astype(np.float32) / 255.0 for k, v in u8.items()}
+    sample = jnp.zeros((1, H, W, 3), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), sample, sample)["params"]
+
+    out_u8 = ImageSummaryWriter(
+        tmp_path / "a", model, DEFAULT_NORMALIZATION
+    ).write(1, params, u8)
+    out_f32 = ImageSummaryWriter(
+        tmp_path / "b", model, DEFAULT_NORMALIZATION
+    ).write(1, params, f32)
+    for name in ("im1", "flow_fw", "im2_warped", "occ_mask"):
+        a = read_image(out_u8 / f"{name}.png")
+        b = read_image(out_f32 / f"{name}.png")
+        np.testing.assert_allclose(a, b, atol=1 / 255.0)
+
+
 def test_supervised_training_step(tmp_path):
     cfg = tiny_config(tmp_path, supervised=True, num_iters=3, display_interval=1)
     batches = batch_iterator(2, H, W, seed=0, supervised=True, max_shift=3.0)

@@ -41,14 +41,23 @@ def main(argv=None) -> int:
     if not args.random_init and args.ex is None:
         ap.error("--ex is required unless --random-init")
 
-    cfg = Config()
+    # --config applies with or without --ex (a --random-init run still
+    # needs it for the net spec and dataset normalization).
+    cfg = load_config(args.config) if args.config else Config()
     exp_dir = None
     if args.ex is not None:
-        cfg = load_config(args.config) if args.config else Config()
         exp_dir = cfg.experiment_dir(args.ex)
         snapshot = exp_dir / "config.ini"
         if args.config is None and snapshot.exists():
             cfg = load_config(snapshot)  # the snapshot knows the net spec
+
+    # The checkpoint was trained with ITS dataset's normalization (the
+    # snapshot records the dataset); inferring with different constants
+    # silently degrades the flow (cli/eval.py passes it the same way).
+    from unflow_tpu.data import dataset_normalization
+    from unflow_tpu.train.trainer import DEFAULT_NORMALIZATION
+
+    norm = dataset_normalization(cfg.train.dataset) or DEFAULT_NORMALIZATION
 
     if args.random_init:
         import jax
@@ -60,9 +69,9 @@ def main(argv=None) -> int:
 
         sample = jnp.zeros((1, 64, 64, 3), jnp.float32)
         params = jax.jit(model.init)(jax.random.PRNGKey(0), sample, sample)["params"]
-        ev = Evaluator(cfg, exp_dir or ".", params=params)
+        ev = Evaluator(cfg, exp_dir or ".", params=params, normalization=norm)
     else:
-        ev = Evaluator(cfg, exp_dir)
+        ev = Evaluator(cfg, exp_dir, normalization=norm)
 
     im1 = read_image(args.im1)
     im2 = read_image(args.im2)

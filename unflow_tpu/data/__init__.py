@@ -4,7 +4,7 @@ from unflow_tpu.data.base import Example, Loader, PairDataset, fit_to_shape, loa
 from unflow_tpu.data.chairs import FlyingChairs
 from unflow_tpu.data.kitti import KITTI2012, KITTI2015, KITTIRaw
 from unflow_tpu.data.middlebury import Middlebury
-from unflow_tpu.data.sintel import Sintel
+from unflow_tpu.data.sintel import Sintel, SintelFinal
 from unflow_tpu.data.synthia import Synthia
 
 DATASETS = {
@@ -12,11 +12,17 @@ DATASETS = {
     "kitti_2012": KITTI2012,
     "kitti_2015": KITTI2015,
     "sintel": Sintel,
-    "sintel_final": lambda data_dir, **kw: Sintel(data_dir, render_pass="final", **kw),
+    "sintel_final": SintelFinal,
     "synthia": Synthia,
     "chairs": FlyingChairs,
     "middlebury": Middlebury,
 }
+
+
+def dataset_normalization(name: str):
+    """Per-dataset (mean, stddev) without touching the filesystem
+    (normalization is a class attribute); None for synthetic/unknown."""
+    return getattr(DATASETS.get(name), "normalization", None)
 
 
 def get_dataset(name: str, data_dir: str, **kwargs) -> PairDataset:
@@ -39,9 +45,11 @@ __all__ = [
     "KITTI2012",
     "KITTI2015",
     "Sintel",
+    "SintelFinal",
     "Synthia",
     "FlyingChairs",
     "Middlebury",
     "DATASETS",
+    "dataset_normalization",
     "get_dataset",
 ]

@@ -256,6 +256,14 @@ class Loader:
         if not (0 <= index < count):
             raise ValueError(f"bad shard {shard}")
         self.shard = (index, count)
+        # Fail fast: with fewer examples than one global batch the
+        # epoch loop would yield nothing (an infinite busy-spin when
+        # loop=True, a silent empty stream otherwise).
+        if len(examples) < batch_size * count:
+            raise ValueError(
+                f"{len(examples)} examples < one global batch "
+                f"({batch_size} x {count} processes)"
+            )
 
     def _epoch_order(self, epoch: int) -> np.ndarray:
         idx = np.arange(len(self.examples))

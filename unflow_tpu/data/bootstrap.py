@@ -234,7 +234,10 @@ def _sha256(path: Path) -> str:
 def _download(url: str, dest: Path, progress: Callable[[str], None]) -> None:
     part = dest.with_suffix(dest.suffix + ".part")
     progress(f"downloading {url}")
-    with urllib.request.urlopen(url) as r, part.open("wb") as f:
+    # Socket timeout (not a total-transfer cap): a mirror that accepts
+    # the connection then stalls raises instead of hanging the download
+    # loop forever; the CLI's per-archive error handling reports it.
+    with urllib.request.urlopen(url, timeout=60) as r, part.open("wb") as f:
         shutil.copyfileobj(r, f, length=1 << 20)
     part.replace(dest)
 

@@ -56,3 +56,13 @@ class Sintel(PairDataset):
 
     def eval_examples(self, variant: str | None = None) -> list[Example]:
         return self._examples(with_gt=True)
+
+
+class SintelFinal(Sintel):
+    """Registry alias: train/eval on the final render pass
+    (the train CLI selects datasets by name only)."""
+
+    name = "sintel_final"
+
+    def __init__(self, data_dir, render_pass: str = "final"):
+        super().__init__(data_dir, render_pass=render_pass)

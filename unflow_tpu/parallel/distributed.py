@@ -26,7 +26,7 @@ from typing import Any
 
 import jax
 
-from jax.sharding import Mesh, NamedSharding
+from jax.sharding import NamedSharding
 
 
 _COORDINATOR_ENV = ("COORDINATOR_ADDRESS", "JAX_COORDINATOR_ADDRESS")
@@ -82,9 +82,7 @@ def per_process_batch_size(global_batch: int) -> int:
     return global_batch // n
 
 
-def put_global_batch(
-    batch: dict, mesh: Mesh, sharding: NamedSharding
-) -> dict:
+def put_global_batch(batch: dict, sharding: NamedSharding) -> dict:
     """Device-put one host's LOCAL batch slice as the global sharded batch.
 
     Single-process: a plain sharded device_put. Multi-process: each host

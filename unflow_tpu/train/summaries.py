@@ -76,6 +76,12 @@ class ImageSummaryWriter:
         w = (batch["im1"].shape[2] // 64) * 64
         im1 = jnp.asarray(batch["im1"][:n, :h, :w])
         im2 = jnp.asarray(batch["im2"][:n, :h, :w])
+        if im1.dtype == jnp.uint8:
+            # uint8 fast-path loader batches (cli/train.py): the train
+            # step converts on-device; the summary forward needs the same
+            # exact f32/255 conversion.
+            im1 = im1.astype(jnp.float32) / 255.0
+            im2 = im2.astype(jnp.float32) / 255.0
         flow_fw, flow_bw, warped, err, occ = jax.device_get(
             self._forward(params, im1, im2)
         )

@@ -246,6 +246,11 @@ class Trainer:
         self.mesh = mesh if mesh is not None else create_mesh(
             t.num_devices or None, spatial=t.spatial_shards
         )
+        # Gather-cliff chunking (ops/warp.py) must slice the batch on
+        # device-shard boundaries; declare the data-axis size.
+        from unflow_tpu.ops.warp import set_gather_shard_granularity
+
+        set_gather_shard_granularity(dict(self.mesh.shape).get("data", 1))
         self.rng = jax.random.PRNGKey(t.seed)
 
         sample = jnp.zeros((1, t.height, t.width, 3), jnp.float32)
@@ -297,11 +302,16 @@ class Trainer:
             if t.image_summary_interval == 0
             else t.image_summary_interval
         )
+        # Multi-host: image summaries are OFF — the global batch is not
+        # fully addressable from one process, and the summary forward
+        # launched from the lead alone would deadlock the pod in the
+        # collective rendezvous. Scalars/metrics still flow.
         self._summaries = (
             ImageSummaryWriter(
                 self.exp_dir, self.model, normalization, event_writer=self._tb
             )
             if self._summary_interval > 0 and self._lead
+            and jax.process_count() == 1
             else None
         )
         # Periodic in-training evaluation on a held-out split (reference:
@@ -315,7 +325,7 @@ class Trainer:
     def _put_batch(self, batch: dict) -> dict:
         # Single-host: sharded device_put. Multi-host: this process's
         # local rows assemble into the global batch (parallel.distributed).
-        return put_global_batch(batch, self.mesh, self._batch_sharding)
+        return put_global_batch(batch, self._batch_sharding)
 
     def run(self, max_iters: int | None = None) -> dict:
         """Train until cfg.train.num_iters (or max_iters), checkpointing.
