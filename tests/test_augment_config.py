@@ -241,3 +241,31 @@ def test_affine_in_train_config_smoke():
     step = jax.jit(make_train_step(model, tx, cfg))
     new_state, logs = step(state, batch, jax.random.PRNGKey(0))
     assert np.isfinite(float(logs["loss"]))
+
+
+def test_affine_flows_without_masks_synthesizes_validity():
+    """Remapped GT is zero-filled where the pull-back leaves the source
+    frame; apply_affine must return that validity as a mask even when
+    the caller passes none (supervised training would otherwise consume
+    corrupted GT at full weight)."""
+    import jax
+    import jax.numpy as jnp
+
+    from unflow_tpu.augment.affine import AffineParams, apply_affine
+
+    b, h, w = 1, 16, 24
+    ident = jnp.broadcast_to(jnp.eye(2, dtype=jnp.float32), (b, 2, 2))
+    # strong global translation: a band of output pixels pulls from
+    # outside the source frame
+    t = jnp.full((b, 2), 6.0, jnp.float32)
+    params = AffineParams(ident, t, ident, t)
+    rng = np.random.RandomState(0)
+    ims = [jnp.asarray(rng.rand(b, h, w, 3).astype(np.float32)) for _ in range(2)]
+    flow = jnp.asarray(rng.randn(b, h, w, 2).astype(np.float32))
+    out_ims, out_flows, out_masks = apply_affine(params, ims, flows=[flow])
+    assert out_masks is not None and len(out_masks) == 1
+    m = np.asarray(out_masks[0])
+    assert m.min() == 0.0 and m.max() == 1.0  # both regions present
+    # valid exactly where the pull-back stays inside the frame
+    assert m[0, :, -1, 0].max() == 0.0  # right band pulls from x >= w
+    assert m[0, 0, 0, 0] == 1.0

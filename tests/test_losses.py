@@ -32,7 +32,10 @@ def test_charbonnier_mask_zeroes_loss(rng):
 
 def test_smoothness_zero_for_constant_flow():
     flow = jnp.full((1, 8, 8, 2), 3.7)
-    eps_floor = 0.001 ** 0.9  # charbonnier of exact zero
+    # Reference scaling SUMS the directional/component charbonnier means
+    # (2x the overall mean), so the floor for exact-zero deltas is
+    # 2 * charbonnier(0).
+    eps_floor = 2 * 0.001 ** 0.9
     assert float(smoothness_loss(flow)) <= eps_floor + 1e-6
     assert float(second_order_loss(flow)) <= eps_floor + 1e-6
 
@@ -42,9 +45,28 @@ def test_second_order_zero_for_linear_flow():
     ramp = jnp.arange(8, dtype=jnp.float32)[None, None, :, None]
     flow = jnp.broadcast_to(ramp, (1, 8, 8, 1))
     flow = jnp.concatenate([flow, 2 * flow], -1)
-    eps_floor = 0.001 ** 0.9
+    eps_floor = 2 * 0.001 ** 0.9
     assert float(second_order_loss(flow)) <= eps_floor + 1e-6
     assert float(smoothness_loss(flow)) > eps_floor  # first-order is not zero
+
+
+def test_smoothness_reference_scaling():
+    """The smooth terms SUM their component charbonnier means instead of
+    averaging (reference: losses.py returns loss_u + loss_v / gx + gy) —
+    halving them would train at half the paper's regularization."""
+    rng = np.random.RandomState(0)
+    flow = jnp.asarray(rng.randn(2, 8, 8, 2).astype(np.float32))
+    dx = flow[:, :, 1:, :] - flow[:, :, :-1, :]
+    dy = flow[:, 1:, :, :] - flow[:, :-1, :, :]
+    want = float(charbonnier_loss(dx)) + float(charbonnier_loss(dy))
+    np.testing.assert_allclose(float(smoothness_loss(flow)), want, rtol=1e-6)
+
+    h = flow[:, :, 2:, :] - 2.0 * flow[:, :, 1:-1, :] + flow[:, :, :-2, :]
+    v = flow[:, 2:, :, :] - 2.0 * flow[:, 1:-1, :, :] + flow[:, :-2, :, :]
+    d1 = flow[:, 2:, 2:, :] - 2.0 * flow[:, 1:-1, 1:-1, :] + flow[:, :-2, :-2, :]
+    d2 = flow[:, 2:, :-2, :] - 2.0 * flow[:, 1:-1, 1:-1, :] + flow[:, :-2, 2:, :]
+    want2 = sum(float(charbonnier_loss(t)) for t in (h, v, d1, d2)) / 2.0
+    np.testing.assert_allclose(float(second_order_loss(flow)), want2, rtol=1e-6)
 
 
 def test_ternary_zero_for_identical_frames(rng):
@@ -127,3 +149,33 @@ def test_supervised_loss_sparse_mask(rng):
     # eps floor only (charbonnier of masked-zero field)
     total1, _ = supervised_loss(flows, gt, jnp.ones_like(mask0))
     assert float(total0) < float(total1)
+
+
+def test_border_mask_degenerate_extent_not_all_zero():
+    """2*distance >= extent used to produce an all-zero mask (empty .at[]
+    slice), silently zeroing every loss term it gates; the distance is
+    now clamped so some interior survives."""
+    from unflow_tpu.losses.terms import create_border_mask
+
+    m = create_border_mask((1, 5, 64, 1), 3)
+    assert float(jnp.sum(m)) > 0
+    m2 = create_border_mask((1, 64, 64, 1), 3)  # normal case unchanged
+    np.testing.assert_allclose(
+        float(jnp.sum(m2)), (64 - 6) * (64 - 6), rtol=1e-6
+    )
+
+
+def test_outgoing_mask_bf16_flow_uses_f32_coords():
+    """bf16 flow on wide frames: coordinate math must run in f32 (bf16
+    cannot represent integer positions past 256)."""
+    from unflow_tpu.losses.terms import create_outgoing_mask
+
+    w = 1024
+    flow = jnp.zeros((1, 2, w, 2), jnp.bfloat16)
+    m = create_outgoing_mask(flow)
+    # zero flow never leaves the frame — every pixel valid, incl. x>256
+    np.testing.assert_allclose(np.asarray(m, np.float32), 1.0)
+    # unit rightward flow leaves exactly at the last column
+    flow1 = jnp.ones((1, 2, w, 2), jnp.bfloat16) * jnp.asarray([1, 0], jnp.bfloat16)
+    m1 = np.asarray(create_outgoing_mask(flow1), np.float32)
+    assert m1[0, 0, w - 1, 0] == 0.0 and m1[0, 0, w - 2, 0] == 1.0

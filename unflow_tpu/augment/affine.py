@@ -135,13 +135,16 @@ def _source_coords(a: jax.Array, t: jax.Array, hw: tuple[int, int]):
 
 def _bilinear_at(im: jax.Array, xs: jax.Array, ys: jax.Array) -> jax.Array:
     """Sample (B,H,W,C) image at float coords; zero outside the frame."""
-    from unflow_tpu.ops.warp import backward_warp_jnp
+    from unflow_tpu.ops.warp import backward_warp_packed
 
     b, h, w, _ = im.shape
     gy = jnp.arange(h, dtype=jnp.float32)[None, :, None]
     gx = jnp.arange(w, dtype=jnp.float32)[None, None, :]
     flow_equiv = jnp.stack([xs - gx, ys - gy], axis=-1)
-    out = backward_warp_jnp(im, flow_equiv)
+    # Packed single-gather formulation (same edge-clamp semantics as the
+    # 4-gather oracle, measured 2.4x cheaper — this runs at the full
+    # pre-crop resolution inside every augmented train step).
+    out = backward_warp_packed(im, flow_equiv)
     inside = (
         (xs >= 0.0) & (xs <= w - 1.0) & (ys >= 0.0) & (ys <= h - 1.0)
     ).astype(im.dtype)[..., None]
@@ -157,7 +160,11 @@ def apply_affine(
     """Resample (im1, im2) with (A1,t1)/(A2,t2); remap GT flow + mask.
 
     ims: [im1, im2] (B, H, W, C). flows/masks: frame-1-anchored GT.
-    Returns (ims', flows', masks') with flows'/masks' None when not given.
+    Returns (ims', flows', masks'). masks' is None only when neither
+    masks nor flows were given: remapped flow is zero-filled where the
+    pull-back W1(x) leaves the source frame, so flows WITHOUT a caller
+    mask synthesize the inside-frame validity mask — training on the
+    zero-filled samples at full weight would corrupt supervised GT.
     """
     im1, im2 = ims
     b, h, w, _ = im1.shape
@@ -166,6 +173,9 @@ def apply_affine(
     xs2, ys2 = _source_coords(params.a2, params.t2, hw)
     out_ims = [_bilinear_at(im1, xs1, ys1), _bilinear_at(im2, xs2, ys2)]
 
+    inside1 = (
+        (xs1 >= 0.0) & (xs1 <= w - 1.0) & (ys1 >= 0.0) & (ys1 <= h - 1.0)
+    ).astype(jnp.float32)[..., None]
     out_flows = out_masks = None
     if flows is not None:
         cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
@@ -183,13 +193,12 @@ def apply_affine(
             out_flows.append(jnp.stack([fx, fy], axis=-1))
     if masks is not None:
         out_masks = []
-        inside1 = (
-            (xs1 >= 0.0) & (xs1 <= w - 1.0) & (ys1 >= 0.0) & (ys1 <= h - 1.0)
-        ).astype(jnp.float32)[..., None]
         for m in masks:
             ms = _bilinear_at(m, xs1, ys1)
             # strict validity: every bilinear corner must be valid
             out_masks.append((ms > 0.999).astype(m.dtype) * inside1)
+    elif flows is not None:
+        out_masks = [inside1.astype(f.dtype) for f in out_flows]
     return out_ims, out_flows, out_masks
 
 

@@ -60,10 +60,14 @@ def create_outgoing_mask(flow: jax.Array) -> jax.Array:
     Returns (B, H, W, 1).
     """
     b, h, w, _ = flow.shape
-    gx = jnp.arange(w, dtype=flow.dtype)[None, None, :]
-    gy = jnp.arange(h, dtype=flow.dtype)[None, :, None]
-    x = gx + flow[..., 0]
-    y = gy + flow[..., 1]
+    # f32 coordinates regardless of flow dtype: bf16 cannot represent
+    # integer positions past 256, which would misplace the inside-frame
+    # test by whole pixels on KITTI-width frames (same hazard
+    # ops/warp.py::_sample_coords guards against).
+    gx = jnp.arange(w, dtype=jnp.float32)[None, None, :]
+    gy = jnp.arange(h, dtype=jnp.float32)[None, :, None]
+    x = gx + flow[..., 0].astype(jnp.float32)
+    y = gy + flow[..., 1].astype(jnp.float32)
     inside = (x >= 0) & (x <= w - 1) & (y >= 0) & (y <= h - 1)
     return inside[..., None].astype(flow.dtype)
 
@@ -75,6 +79,10 @@ def create_border_mask(shape: tuple, distance: int, dtype=jnp.float32) -> jax.Ar
     keep census patches fully inside the frame).
     """
     b, h, w = shape[0], shape[1], shape[2]
+    # Clamp: 2*distance >= extent would make the .at[] slice empty and
+    # silently zero every loss term masked by it (reachable on the
+    # coarsest pyramid levels of small crops).
+    distance = min(distance, (min(h, w) - 1) // 2)
     m = jnp.zeros((h, w), dtype)
     m = m.at[distance : h - distance, distance : w - distance].set(1.0)
     return jnp.broadcast_to(m[None, :, :, None], (b, h, w, 1))
@@ -175,15 +183,27 @@ def gradient_loss(im1: jax.Array, im2_warped: jax.Array, mask: jax.Array) -> jax
 
 
 def smoothness_loss(flow: jax.Array) -> jax.Array:
-    """First-order flow smoothness (src/e2eflow/core/losses.py::smoothness_loss)."""
+    """First-order flow smoothness (src/e2eflow/core/losses.py::smoothness_loss).
+
+    Reference scaling: the two directional terms are SUMMED (each a
+    charbonnier mean), not averaged — the shipped smooth/smooth_2nd
+    weights assume this, so halving here would silently train at half
+    the paper's regularization strength.
+    """
     dx = flow[:, :, 1:, :] - flow[:, :, :-1, :]
     dy = flow[:, 1:, :, :] - flow[:, :-1, :, :]
-    return (charbonnier_loss(dx) + charbonnier_loss(dy)) / 2.0
+    return charbonnier_loss(dx) + charbonnier_loss(dy)
 
 
 def second_order_loss(flow: jax.Array) -> jax.Array:
     """Second-order smoothness: 3-point stencils along h, v and both
-    diagonals (src/e2eflow/core/losses.py::second_order_loss)."""
+    diagonals (src/e2eflow/core/losses.py::second_order_loss).
+
+    Reference scaling: charbonnier_loss(delta_u) + charbonnier_loss(
+    delta_v), each a mean over (B, H, W, 4 stencils) — i.e. 2x the mean
+    over everything. The per-stencil means below each average u and v
+    jointly, so summing the 4 and halving reproduces it exactly.
+    """
     h = flow[:, :, 2:, :] - 2.0 * flow[:, :, 1:-1, :] + flow[:, :, :-2, :]
     v = flow[:, 2:, :, :] - 2.0 * flow[:, 1:-1, :, :] + flow[:, :-2, :, :]
     d1 = flow[:, 2:, 2:, :] - 2.0 * flow[:, 1:-1, 1:-1, :] + flow[:, :-2, :-2, :]
@@ -193,4 +213,4 @@ def second_order_loss(flow: jax.Array) -> jax.Array:
         + charbonnier_loss(v)
         + charbonnier_loss(d1)
         + charbonnier_loss(d2)
-    ) / 4.0
+    ) / 2.0

@@ -144,7 +144,15 @@ _GATHER_SHARD_GRANULARITY = 1
 
 def set_gather_shard_granularity(n: int) -> None:
     """Declare the data-axis shard count for gather-cliff chunking
-    (trace-time hint; 1 = unsharded)."""
+    (trace-time hint; 1 = unsharded).
+
+    Process-global and read at TRACE time, not part of any jit cache
+    key: it is owned by the Trainer (set per instance before its step
+    traces). A process mixing sharded training with unsharded
+    above-cliff inference should reset to 1 before tracing the latter —
+    the cost of staleness is the chunking perf heuristic, never
+    correctness.
+    """
     global _GATHER_SHARD_GRANULARITY
     if n < 1:
         raise ValueError(f"shard granularity must be >= 1, got {n}")
@@ -231,8 +239,14 @@ def _splat(values: jax.Array, flow: jax.Array) -> jax.Array:
     for iy, yw in ((y0, 1.0 - wy), (y0 + 1, wy)):
         for ix, xw in ((x0, 1.0 - wx), (x0 + 1, wx)):
             inb = (ix >= 0) & (ix <= w - 1) & (iy >= 0) & (iy <= h - 1)
-            # OOB -> index -1, dropped by scatter mode='drop'.
-            idx = jnp.where(inb, iy.astype(jnp.int32) * w + ix.astype(jnp.int32), -1)
+            # OOB -> index h*w, genuinely out of bounds so mode='drop'
+            # discards it. (An index of -1 would NOT be dropped: JAX
+            # wraps negative indices before the bounds check, so it
+            # would scatter into the last pixel — currently masked by
+            # the inb factor on contrib, but not something to rely on.)
+            idx = jnp.where(
+                inb, iy.astype(jnp.int32) * w + ix.astype(jnp.int32), h * w
+            )
             contrib = values * (xw * yw * inb.astype(values.dtype))[..., None]
             out = out + jax.vmap(splat_one)(
                 contrib.reshape(b, h * w, c), idx.reshape(b, h * w)

@@ -132,15 +132,18 @@ def make_train_step(
         if affine_on:
             # Shared global + relative affine, applied at the loaded size
             # so the subsequent random crop sees the transformed frames.
+            # (May SYNTHESIZE masks: remapped GT is invalid where the
+            # pull-back leaves the source frame.)
             ims, gt, masks = random_affine(
                 k_affine, ims, flows=gt, masks=masks, **affine_ranges
             )
-        ims, gt = random_crop_flip(k_geo, ims, crop_hw, flows=gt)
-        if masks is not None:
-            (mask,), _ = random_crop_flip(k_geo, [masks[0]], crop_hw)
-        else:
-            mask = None
-        im1, im2 = ims
+        # Mask rides the image list so the crop/flip decision is drawn
+        # ONCE (two calls replaying the key would silently desync if the
+        # function's internal RNG consumption ever changes).
+        extra = [masks[0]] if masks is not None else []
+        cropped, gt = random_crop_flip(k_geo, ims + extra, crop_hw, flows=gt)
+        mask = cropped[2] if extra else None
+        im1, im2 = cropped[0], cropped[1]
 
         # Photometric augmentation feeds the network only; the loss sees
         # the un-jittered pair (reference: core/unsupervised.py).
