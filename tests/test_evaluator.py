@@ -108,3 +108,60 @@ def test_evaluator_noc_occ_breakdown(tmp_path, rng):
     )
     m2 = evaluator.run([ex_plain])
     assert "aee_noc" not in m2 and "aee_occ" not in m2
+
+
+def test_evaluator_mixed_gt_and_subdir_stems(tmp_path, rng):
+    """AEE averages over GT-carrying examples only (GT-less scenes must
+    not dilute it), collect= returns the GUI entries without re-running,
+    and a Sintel-style 'scene/frame' id dumps into a scene subdir
+    without stem collisions."""
+    import jax
+
+    from unflow_tpu.config import Config
+    from unflow_tpu.train import build_model
+
+    cfg = Config()
+    t = cfg.train
+    t.flownet = "S"
+    t.height, t.width = H, W
+    t.compute_dtype = "float32"
+
+    model = build_model(cfg)
+    sample = np.zeros((1, H, W, 3), np.float32)
+    params = model.init(jax.random.PRNGKey(0), sample, sample)["params"]
+
+    im1 = rng.rand(H, W, 3).astype(np.float32)
+    gt = rng.randn(H, W, 2).astype(np.float32)
+    write_image(tmp_path / "a.png", im1)
+    write_flo(tmp_path / "gt.flo", gt)
+    with_gt = Example(
+        im1=str(tmp_path / "a.png"), im2=str(tmp_path / "a.png"),
+        flow=str(tmp_path / "gt.flo"), meta={"id": "alley_1/frame_0001"},
+    )
+    no_gt = Example(
+        im1=str(tmp_path / "a.png"), im2=str(tmp_path / "a.png"),
+        meta={"id": "alley_1/frame_0002"},
+    )
+
+    evaluator = Evaluator(cfg, tmp_path, params=params)
+    m_gt_only = evaluator.run([with_gt])
+    m_mixed = evaluator.run(
+        [with_gt, no_gt], output_dir=tmp_path / "dump", collect=2
+    )
+    assert m_mixed["n"] == 2 and m_mixed["n_gt"] == 1
+    np.testing.assert_allclose(m_mixed["aee"], m_gt_only["aee"], rtol=1e-6)
+    assert (tmp_path / "dump" / "alley_1" / "frame_0001.flo").exists()
+    assert (tmp_path / "dump" / "alley_1" / "frame_0002.flo").exists()
+    assert len(m_mixed["entries"]) == 2
+    assert "gt" in m_mixed["entries"][0] and "gt" not in m_mixed["entries"][1]
+
+
+def test_kitti_png_flow_roundtrip_rounds(tmp_path):
+    """Quantization rounds to nearest 1/64 px (a floor cast would bias
+    every value by up to -1/64 and break round-trips)."""
+    from unflow_tpu.data.io import read_kitti_png_flow, write_kitti_png_flow
+
+    flow = np.array([[[0.015, -0.015], [1.0 / 64, 5.25]]], np.float32)
+    write_kitti_png_flow(tmp_path / "f.png", flow)
+    back, valid = read_kitti_png_flow(tmp_path / "f.png")
+    np.testing.assert_allclose(back, np.round(flow * 64) / 64, atol=1e-6)

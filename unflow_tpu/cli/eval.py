@@ -16,7 +16,6 @@ import argparse
 
 from unflow_tpu.config import Config, load_config
 from unflow_tpu.data import get_dataset
-from unflow_tpu.data.base import load_example
 from unflow_tpu.eval import Evaluator
 from unflow_tpu.train.trainer import DEFAULT_NORMALIZATION
 
@@ -38,7 +37,9 @@ def main(argv=None) -> int:
     cfg = load_config(args.config) if args.config else Config()
     ex_dir = cfg.experiment_dir(args.ex)
     snapshot = ex_dir / "config.ini"
-    if snapshot.exists():
+    if args.config is None and snapshot.exists():
+        # An EXPLICIT --config wins (e.g. checkpoint copied to a machine
+        # where the snapshot's dirs no longer resolve).
         cfg = load_config(snapshot)
 
     if args.dataset == "sintel":
@@ -49,10 +50,19 @@ def main(argv=None) -> int:
         dataset = get_dataset(args.dataset, cfg.dirs.data)
         examples = dataset.eval_examples(args.variant)
 
-    evaluator = Evaluator(cfg, ex_dir, normalization=dataset.normalization)
+    # Normalize with the constants the checkpoint was TRAINED with (the
+    # snapshot records the training dataset) — evaluating a chairs-
+    # trained net on KITTI with KITTI constants would silently shift
+    # every input channel. Falls back to the eval dataset's constants
+    # for synthetic/unknown training sets.
+    from unflow_tpu.data import dataset_normalization
+
+    norm = dataset_normalization(cfg.train.dataset) or dataset.normalization
+    evaluator = Evaluator(cfg, ex_dir, normalization=norm)
     metrics = evaluator.run(
         examples, max_examples=args.num,
         output_dir=args.output, output_format=args.format,
+        collect=(args.num or 8) if args.gui else 0,
     )
     line = (
         f"{args.dataset}{'/' + args.variant if args.variant else ''}: "
@@ -69,15 +79,8 @@ def main(argv=None) -> int:
     if args.gui:
         from unflow_tpu.eval.gui import display
 
-        results = []
-        for ex in examples[: args.num or 8]:
-            item = load_example(ex, None, supervised=ex.flow is not None)
-            entry = {"im1": item["im1"],
-                     "flow": evaluator.predict(item["im1"], item["im2"])}
-            if "flow" in item:
-                entry["gt"], entry["mask"] = item["flow"], item["mask"]
-            results.append(entry)
-        display(results)
+        # Predictions were collected during run() — no re-decode/re-predict.
+        display(metrics["entries"])
     return 0
 
 

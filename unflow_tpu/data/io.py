@@ -121,7 +121,10 @@ def write_kitti_png_flow(
     if valid is None:
         valid = np.ones((h, w, 1), np.float32)
     out = np.zeros((h, w, 3), np.uint16)
-    quant = np.clip(flow * 64.0 + 2.0**15, 0, 2**16 - 1)
+    # Round to nearest (the devkit's uint16() rounds): a bare cast would
+    # floor, biasing every stored value by up to -1/64 px and breaking
+    # read/write round-trips.
+    quant = np.clip(np.round(flow * 64.0 + 2.0**15), 0, 2**16 - 1)
     out[..., :2] = quant.astype(np.uint16)
     out[..., 2] = (valid[..., 0] > 0).astype(np.uint16)
     write_png16(path, out)

@@ -74,19 +74,22 @@ class KITTIRaw(PairDataset):
                     self.exclude_substrings.append(line)
 
     def _auto_exclusions(self) -> list[tuple[str, int]]:
-        """Parse kitti_2015's devkit train mapping when present.
+        """Parse the 2012 AND 2015 devkit train mappings when present.
 
         Lines look like ``2011_09_26 2011_09_26_drive_0009_sync
         0000000384`` (empty for frames without a raw correspondence).
+        Both benchmarks' eval scenes come from raw drives — excluding
+        only one would leave the other's scenes in the training set.
         """
         scenes = []
-        for mapping in sorted(
-            (self.data_dir / "kitti_2015").glob("**/train_mapping.txt")
-        ):
-            for line in open(mapping):
-                parts = line.split()
-                if len(parts) == 3:
-                    scenes.append((parts[1], int(parts[2])))
+        for bench in ("kitti_2012", "kitti_2015"):
+            for mapping in sorted(
+                (self.data_dir / bench).glob("**/train_mapping.txt")
+            ):
+                for line in open(mapping):
+                    parts = line.split()
+                    if len(parts) == 3:
+                        scenes.append((parts[1], int(parts[2])))
         return scenes
 
     def train_examples(self) -> list[Example]:
@@ -105,10 +108,11 @@ class KITTIRaw(PairDataset):
 
             warnings.warn(
                 "KITTIRaw: no eval-scene exclusion active (no exclude_file; "
-                "kitti_2015/devkit train_mapping.txt not found). Training on "
-                "unfiltered raw drives contaminates the KITTI 2012/2015 eval "
-                "scenes. Pass exclude_file=..., place the kitti_2015 devkit "
-                "under the data dir, or set exclude='off' to silence.",
+                "no kitti_2012/kitti_2015 devkit train_mapping.txt found). "
+                "Training on unfiltered raw drives contaminates the KITTI "
+                "2012/2015 eval scenes. Pass exclude_file=..., place the "
+                "benchmark devkits under the data dir, or set exclude='off' "
+                "to silence.",
                 stacklevel=2,
             )
         by_drive: dict[str, list[int]] = {}

@@ -32,7 +32,9 @@ class Middlebury(PairDataset):
                     Example(
                         im1=str(im1), im2=str(im2),
                         flow=str(flow) if flow.exists() else None,
-                        meta={"scene": scene.name},
+                        # one pair per scene -> the scene name is a
+                        # unique benchmark-dump stem
+                        meta={"scene": scene.name, "id": scene.name},
                     )
                 )
         if not examples:

@@ -44,7 +44,11 @@ class Sintel(PairDataset):
                         flow_format="flo",
                         noc=str(occ) if flow.exists() and occ.exists() else None,
                         noc_format="occ_png",
-                        meta={"scene": scene.name},
+                        # "id" is the benchmark-dump stem: scene subdir +
+                        # frame stem, unique per pair (scene alone would
+                        # make every pair in a scene overwrite one file).
+                        meta={"scene": scene.name,
+                              "id": f"{scene.name}/{a.stem}"},
                     )
                 )
         if not examples:

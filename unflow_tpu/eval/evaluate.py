@@ -72,8 +72,13 @@ class Evaluator:
         max_examples: int | None = None,
         output_dir: str | Path | None = None,
         output_format: str = "flo",  # flo | kitti_png | viz
+        collect: int = 0,
     ) -> dict:
         """Returns {'aee': ..., 'fl': ..., 'n': ...} over valid pixels.
+
+        ``collect``: additionally return the first K predictions under
+        ``'entries'`` ({'im1', 'flow'[, 'gt', 'mask']}) for the GUI pager
+        — avoids re-decoding and re-predicting them afterwards.
 
         When examples carry a non-occluded-region source (KITTI flow_noc
         validity / Sintel occlusion masks — ``Example.noc``), also returns
@@ -87,13 +92,20 @@ class Evaluator:
         aee_sum = fl_sum = 0.0
         noc_sums = {"aee_noc": 0.0, "fl_noc": 0.0, "aee_occ": 0.0}
         noc_counts = {"aee_noc": 0, "fl_noc": 0, "aee_occ": 0}
-        n = 0
+        n = n_gt = 0
+        entries = []
         for i, ex in enumerate(examples):
             if max_examples is not None and i >= max_examples:
                 break
             item = load_example(ex, target_hw=None, supervised=ex.flow is not None)
             flow = self.predict(item["im1"], item["im2"])
+            if collect and len(entries) < collect:
+                entry = {"im1": item["im1"], "flow": flow}
+                if "flow" in item:
+                    entry["gt"], entry["mask"] = item["flow"], item["mask"]
+                entries.append(entry)
             if ex.flow is not None:
+                n_gt += 1
                 gt = jnp.asarray(item["flow"][None])
                 mask = jnp.asarray(item["mask"][None])
                 pred = jnp.asarray(flow[None])
@@ -112,7 +124,10 @@ class Evaluator:
                             noc_counts[key] += 1
             n += 1
             if out_dir:
-                stem = ex.meta.get("id") or ex.meta.get("scene") or f"{i:06d}"
+                # "id" must be pair-unique; it may contain a subdir
+                # (Sintel's <scene>/frame_xxxx benchmark layout).
+                stem = ex.meta.get("id") or f"{i:06d}"
+                (out_dir / stem).parent.mkdir(parents=True, exist_ok=True)
                 if output_format == "flo":
                     write_flo(out_dir / f"{stem}.flo", flow)
                 elif output_format == "kitti_png":
@@ -128,13 +143,18 @@ class Evaluator:
                     raise ValueError(f"unknown output format {output_format!r}")
         if n == 0:
             raise ValueError("no examples evaluated")
-        has_gt = any(ex.flow is not None for ex in examples[:n])
+        # Metrics average over the examples that HAVE ground truth —
+        # dividing by all of n would silently dilute AEE/Fl on datasets
+        # with partial GT (e.g. Middlebury's GT-less scenes).
         result = {
-            "aee": aee_sum / n if has_gt else float("nan"),
-            "fl": fl_sum / n if has_gt else float("nan"),
+            "aee": aee_sum / n_gt if n_gt else float("nan"),
+            "fl": fl_sum / n_gt if n_gt else float("nan"),
             "n": n,
+            "n_gt": n_gt,
         }
         for key, count in noc_counts.items():
             if count:
                 result[key] = noc_sums[key] / count
+        if collect:
+            result["entries"] = entries
         return result
