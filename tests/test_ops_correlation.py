@@ -153,3 +153,67 @@ def test_shift_unshift_rows_by_index(rng):
             rtol=0,
             atol=0,
         )
+
+
+def test_asymmetric_grid_rejected_on_every_backend(rng):
+    """max_displacement not divisible by stride must raise for BOTH
+    impls — the jnp path used to silently produce an asymmetric
+    displacement grid the pallas path rejects."""
+    f = jnp.asarray(rng.randn(1, 8, 16, 8).astype(np.float32))
+    for impl in ("jnp", "pallas"):
+        with pytest.raises(ValueError):
+            correlation(f, f, max_displacement=5, stride=2, impl=impl)
+
+
+def test_set_default_impl_not_baked_into_jit_cache(rng, monkeypatch):
+    """The process-wide default is resolved OUTSIDE the jit: changing it
+    after a cached trace must reach the other backend (it used to be
+    baked into the first trace and silently ignored)."""
+    import unflow_tpu.ops as ops
+    import unflow_tpu.ops.pallas.correlation as pallas_mod
+
+    f = jnp.asarray(rng.randn(1, 8, 16, 8).astype(np.float32))
+    old = ops.get_default_impl()
+    try:
+        ops.set_default_impl("jnp")
+        a = correlation(f, f, max_displacement=2, stride=1)
+
+        called = []
+        orig = pallas_mod.correlation_pallas
+
+        def spy(*args, **kw):
+            called.append(True)
+            return orig(*args, **kw)
+
+        monkeypatch.setattr(pallas_mod, "correlation_pallas", spy)
+        ops.set_default_impl("pallas")
+        b = correlation(f, f, max_displacement=2, stride=1)
+        assert called, "default-impl change ignored (stale jit cache)"
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=1e-5, atol=1e-5)
+    finally:
+        ops.set_default_impl(old)
+
+
+def test_mxu_gate_channel_and_geometry():
+    """The MXU dispatch gate falls back to the VPU kernels when the
+    channel chunking would stage a non-128-multiple lane extent (Mosaic
+    rejects such manual DMAs), and supported() rejects P % s != 0 for
+    direct callers."""
+    from unflow_tpu.ops.pallas import correlation_mxu as mxu
+    from unflow_tpu.ops.pallas.correlation import _mxu_ok
+
+    assert _mxu_ok(jnp.bfloat16, 40, 144, 20, 2, 256)
+    assert _mxu_ok(jnp.bfloat16, 40, 144, 20, 2, 128)
+    assert not _mxu_ok(jnp.bfloat16, 40, 144, 20, 2, 72)  # 80-lane DMA
+    assert not _mxu_ok(jnp.float32, 40, 144, 20, 2, 256)
+    assert not mxu.supported(40, 144, 5, 2)  # s does not divide P
+
+    # the odd-channel fallback still computes the right thing (bf16 VPU)
+    rng = np.random.RandomState(0)
+    f1 = jnp.asarray(rng.randn(1, 16, 32, 72).astype(np.float32)).astype(jnp.bfloat16)
+    f2 = jnp.asarray(rng.randn(1, 16, 32, 72).astype(np.float32)).astype(jnp.bfloat16)
+    got = correlation_pallas(f1, f2, 4, 2)
+    want = correlation_jnp(f1.astype(jnp.float32), f2.astype(jnp.float32), 4, 2)
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(want), rtol=0.02, atol=0.02
+    )

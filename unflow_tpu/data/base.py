@@ -243,6 +243,10 @@ class Loader:
         self.shuffle = shuffle
         self.seed = seed
         self.num_threads = num_threads
+        if prefetch < 1:
+            # queue.Queue(maxsize=0) means UNBOUNDED — "no prefetch"
+            # would silently become "materialize every batch ahead".
+            raise ValueError(f"prefetch must be >= 1, got {prefetch}")
         self.prefetch = prefetch
         self.loop = loop
         self.mode = mode
@@ -357,8 +361,16 @@ class Loader:
                             safe_put(None)
                             return
                         items = [f.result() for f in pending.popleft()]
+                        # Keys common to EVERY item: optional fields
+                        # (noc_mask exists only where the file does) must
+                        # not crash the stack when a batch mixes
+                        # examples, nor depend on which example lands at
+                        # index 0.
+                        keys = set(items[0])
+                        for it in items[1:]:
+                            keys &= set(it)
                         batch = {
-                            k: np.stack([it[k] for it in items]) for k in items[0]
+                            k: np.stack([it[k] for it in items]) for k in keys
                         }
                         if not safe_put(batch):
                             return

@@ -42,7 +42,10 @@ def _load():
     with _LOCK:
         if AVAILABLE is not None:
             return _lib
-        if not _LIB.exists() or _LIB.stat().st_mtime < _SRC.stat().st_mtime:
+        # <= : an mtime TIE (e.g. both files written by one checkout)
+        # must rebuild — loading a binary of unknown provenance risks
+        # stale code or a foreign -march=native build (SIGILL).
+        if not _LIB.exists() or _LIB.stat().st_mtime <= _SRC.stat().st_mtime:
             if not _build():
                 AVAILABLE = False
                 return None

@@ -174,16 +174,33 @@ bool read_file(const char* path, std::vector<uint8_t>* out) {
 extern "C" {
 
 // Probe an image's dimensions. Returns 0 on success.
+// Header-only: parses the 8-byte signature + IHDR (first chunk, fixed
+// offsets) instead of inflating the image — the decode wrappers call
+// this before every full decode, so a full decode here would double
+// the CPU cost of the entire fast path.
 int unflow_png_shape(const char* path, int* h, int* w, int* channels,
                      int* bitdepth) {
-  std::vector<uint8_t> buf;
-  if (!read_file(path, &buf)) return 1;
-  Image im;
-  if (!decode_png(buf.data(), buf.size(), &im)) return 2;
-  *h = im.h;
-  *w = im.w;
-  *channels = im.channels;
-  *bitdepth = im.bitdepth;
+  static const uint8_t kSig[8] = {0x89, 'P', 'N', 'G', '\r', '\n', 0x1a, '\n'};
+  FILE* f = fopen(path, "rb");
+  if (!f) return 1;
+  uint8_t head[33];  // signature(8) + len(4) + "IHDR"(4) + payload(13)
+  size_t got = fread(head, 1, sizeof(head), f);
+  fclose(f);
+  if (got < sizeof(head) || memcmp(head, kSig, 8) != 0) return 2;
+  if (memcmp(head + 12, "IHDR", 4) != 0 || be32(head + 8) < 13) return 2;
+  const uint8_t* payload = head + 16;
+  const int width = be32(payload);
+  const int height = be32(payload + 4);
+  const int depth = payload[8];
+  const int ct = payload[9];
+  if (width <= 0 || height <= 0) return 2;
+  if (depth != 8 && depth != 16) return 2;
+  if (channels_for_colortype(ct) == 0) return 2;
+  if (payload[12] != 0) return 2;  // interlaced unsupported
+  *h = height;
+  *w = width;
+  *channels = channels_for_colortype(ct);
+  *bitdepth = depth;
   return 0;
 }
 
@@ -199,17 +216,19 @@ int unflow_decode_rgb(const char* path, float* out, int expect_h,
   if (im.h != expect_h || im.w != expect_w) return 3;
   if (im.bitdepth != 8) return 4;
   const int c = im.channels;
-  const float scale = 1.0f / 255.0f;
   const size_t n = size_t(im.h) * im.w;
+  // Divide (not multiply-by-reciprocal): bit-identical to the Python
+  // path's float32(px) / 255.0f — the reciprocal form differs by 1 ulp
+  // on ~half of the 256 values.
   for (size_t p = 0; p < n; ++p) {
     const uint8_t* px = im.data.data() + p * c;
     float r, g, b;
     if (c >= 3) {
-      r = px[0] * scale;
-      g = px[1] * scale;
-      b = px[2] * scale;
+      r = px[0] / 255.0f;
+      g = px[1] / 255.0f;
+      b = px[2] / 255.0f;
     } else {
-      r = g = b = px[0] * scale;
+      r = g = b = px[0] / 255.0f;
     }
     out[p * 3 + 0] = r;
     out[p * 3 + 1] = g;

@@ -73,7 +73,15 @@ def correlation_jnp(
     return out / jnp.asarray(c, out.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("max_displacement", "stride", "impl"))
+@functools.partial(jax.jit, static_argnames=("max_displacement", "stride", "backend"))
+def _correlation_jit(f1, f2, max_displacement, stride, backend):
+    if backend == "pallas":
+        from unflow_tpu.ops.pallas.correlation import correlation_pallas
+
+        return correlation_pallas(f1, f2, max_displacement, stride)
+    return correlation_jnp(f1, f2, max_displacement, stride)
+
+
 def correlation(
     f1: jax.Array,
     f2: jax.Array,
@@ -85,16 +93,21 @@ def correlation(
 
     Args:
       f1, f2: ``(B, H, W, C)`` feature maps.
-      max_displacement: search radius in pixels (reference: 20).
+      max_displacement: search radius in pixels (reference: 20); must be
+        divisible by ``stride`` (the displacement grid is symmetric).
       stride: displacement grid step (reference ``stride_2``: 2).
       impl: ``auto`` | ``jnp`` | ``pallas``.
 
     Returns:
       ``(B, H, W, D*D)`` with ``D = 2*(max_displacement//stride) + 1``.
     """
-    backend = resolve_impl(impl)
-    if backend == "pallas":
-        from unflow_tpu.ops.pallas.correlation import correlation_pallas
-
-        return correlation_pallas(f1, f2, max_displacement, stride)
-    return correlation_jnp(f1, f2, max_displacement, stride)
+    # Both checked and resolved OUTSIDE the jit: resolving inside would
+    # bake the process-wide default into the first trace's cache and
+    # silently ignore later set_default_impl() calls; and the jnp path
+    # would otherwise accept an asymmetric grid the pallas path rejects.
+    if max_displacement % stride:
+        raise ValueError(
+            f"max_displacement ({max_displacement}) must be divisible by "
+            f"stride ({stride})"
+        )
+    return _correlation_jit(f1, f2, max_displacement, stride, resolve_impl(impl))

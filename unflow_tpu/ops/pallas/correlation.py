@@ -146,6 +146,23 @@ def _mxu_chunk(dtype) -> int:
     return 256 if dtype == jnp.bfloat16 else 128
 
 
+def _mxu_ok(dtype, h: int, w: int, P: int, s: int, c: int) -> bool:
+    """Gate for the MXU kernels: bf16 only (f32 would need 3-pass
+    matmuls whose VMEM stack overflows; the VPU kernels keep f32 exact),
+    supported geometry, AND channel chunks whose lane extent is a
+    128-multiple — the MXU kernels manually DMA windows with C on the
+    lane axis, and Mosaic rejects non-128-multiple async-copy lane
+    extents (empirical rule, module docstring)."""
+    if dtype != jnp.bfloat16:
+        return False
+    from unflow_tpu.ops.pallas import correlation_mxu as mxu
+
+    if not mxu.supported(h, w, P, s):
+        return False
+    ck = min(_mxu_chunk(dtype), _round_up(c, 8))
+    return ck % 128 == 0
+
+
 def _corr_fwd_impl(f1: jax.Array, f2: jax.Array, P: int, s: int) -> jax.Array:
     if P % s != 0:
         raise ValueError(f"max_displacement ({P}) must be divisible by stride ({s})")
@@ -156,16 +173,17 @@ def _corr_fwd_impl(f1: jax.Array, f2: jax.Array, P: int, s: int) -> jax.Array:
 
     from unflow_tpu.ops.pallas import correlation_mxu as mxu
 
-    _, h, w, _ = f1.shape
-    # MXU path for bf16 only: f32 would need 3-pass (Precision.HIGHEST)
-    # matmuls whose VMEM stack overflows; the VPU kernels keep f32 exact.
-    if in_dtype == jnp.bfloat16 and mxu.supported(h, w, P, s):
+    _, h, w, c_in = f1.shape
+    if _mxu_ok(in_dtype, h, w, P, s, c_in):
         chunk = _mxu_chunk(in_dtype)
         chunks1 = _split_channels(f1, chunk)
         chunks2 = _split_channels(f2, chunk)
-        out = mxu.corr_fwd_mxu(chunks1[0], chunks2[0], P, s, inv_c)
+        # Accumulate cross-chunk partials in f32 (each kernel returns its
+        # compute dtype; a bf16 += per chunk would add one rounding per
+        # chunk that the VPU/jnp paths don't have).
+        out = mxu.corr_fwd_mxu(chunks1[0], chunks2[0], P, s, inv_c).astype(jnp.float32)
         for a, b2 in zip(chunks1[1:], chunks2[1:]):
-            out = out + mxu.corr_fwd_mxu(a, b2, P, s, inv_c)
+            out = out + mxu.corr_fwd_mxu(a, b2, P, s, inv_c).astype(jnp.float32)
         return out.astype(in_dtype)
 
     chunks1, chunks2 = _split_channels(f1), _split_channels(f2)
@@ -237,7 +255,7 @@ def _corr_bwd_f1_impl(g: jax.Array, f2: jax.Array, P: int, s: int) -> jax.Array:
 
     from unflow_tpu.ops.pallas import correlation_mxu as mxu
 
-    if in_dtype == jnp.bfloat16 and mxu.supported(h, w, P, s):
+    if _mxu_ok(in_dtype, h, w, P, s, c):
         chunk = _mxu_chunk(in_dtype)
         parts = [
             mxu.corr_bwd_f1_mxu(g, f2c, P, s, inv_c)
@@ -348,7 +366,7 @@ def _corr_bwd_f2_impl(g: jax.Array, f1: jax.Array, P: int, s: int) -> jax.Array:
     # production shape (B=8, 40x144, C=256) — the banded-matmul kernel
     # needs ~18 MB of VMEM windows, over Mosaic's default budget, so it
     # raises vmem_limit_bytes for its own pallas_call (v5e has headroom).
-    if in_dtype == jnp.bfloat16 and mxu.supported(h, w, P, s):
+    if _mxu_ok(in_dtype, h, w, P, s, c):
         chunk = _mxu_chunk(in_dtype)
         parts = [
             mxu.corr_bwd_f2_mxu(g, f1c, P, s, inv_c)

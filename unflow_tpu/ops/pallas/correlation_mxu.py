@@ -73,11 +73,16 @@ def _dims(h: int, w: int, P: int, s: int):
 
 
 def supported(h: int, w: int, P: int, s: int) -> bool:
+    if s not in (1, 2) or P % s:
+        # The band geometry assumes s | P (e.g. _prep_f2's wp + 2P/s
+        # split and the rp = D-1 identity); callers bypassing
+        # correlation_pallas's own check must not pass the gate.
+        return False
     try:
         _dims(h, w, P, s)
     except ValueError:
         return False
-    return s in (1, 2)
+    return True
 
 
 def _shift_rows_by_index(x: jax.Array, width_out: int) -> jax.Array:
