@@ -142,3 +142,44 @@ def test_two_process_train_step(tmp_path):
     assert set(losses) == {0, 1}, outs
     np.testing.assert_allclose(losses[0], losses[1], rtol=1e-6)
     np.testing.assert_allclose(losses[0], ref_loss, rtol=1e-4)
+
+
+@pytest.mark.slow
+def test_two_process_trainer_run(tmp_path):
+    """The REAL Trainer on a 2-process mesh: local-device init,
+    per-process batch feeding through Trainer.run, the collective orbax
+    save (a lead-only save deadlocks the pod — regression), lead-gated
+    metrics. Both processes must finish with the same loss and a
+    restorable final checkpoint."""
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+    worker = Path(__file__).parent / "_trainer_worker.py"
+    exp = tmp_path / "ex_dist"
+    env = {
+        k: v for k, v in os.environ.items()
+        if k not in ("XLA_FLAGS", "JAX_PLATFORMS")
+    }
+    env["PALLAS_AXON_POOL_IPS"] = ""
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(worker), str(pid), str(port), str(exp)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True, env=env,
+        )
+        for pid in (0, 1)
+    ]
+    outs = [p.communicate(timeout=900)[0] for p in procs]
+    done = {}
+    for out, p in zip(outs, procs):
+        assert p.returncode == 0, out[-3000:]
+        for line in out.splitlines():
+            if line.startswith("TRAINER_DONE"):
+                _, pid, loss, latest = line.split()
+                done[int(pid)] = (float(loss), int(latest))
+    assert set(done) == {0, 1}, outs
+    np.testing.assert_allclose(done[0][0], done[1][0], rtol=1e-6)
+    assert done[0][1] == 4  # final step checkpoint finalized
+    # metrics written by the lead process only
+    assert (exp / "metrics.jsonl").exists()
+    lines = (exp / "metrics.jsonl").read_text().splitlines()
+    assert len(lines) == 4  # display_interval=1, one writer

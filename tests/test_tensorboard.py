@@ -70,3 +70,15 @@ def test_trainer_writes_tensorboard(tmp_path):
     assert scalar_steps == {1, 2}
     image_tags = {t for e in events for t in e.get("images", {})}
     assert {"flow_fw", "im2_warped", "occ_mask"} <= image_tags
+
+
+def test_crc32c_c_impl_matches_pure_python():
+    """The accelerated CRC (google_crc32c when present) must be
+    bit-identical to the pure-Python Castagnoli fallback the wire
+    format was validated with."""
+    from unflow_tpu.utils.tensorboard import _crc32c_py, crc32c
+
+    for data in (b"", b"a", b"123456789", bytes(range(256)) * 33):
+        assert crc32c(data) == _crc32c_py(data)
+    # RFC 3720 check value for "123456789"
+    assert crc32c(b"123456789") == 0xE3069283

@@ -154,7 +154,20 @@ def main(argv=None) -> int:
         setattr(cfg.train, key, _coerce(value, _FIELD_TYPES[key]))
     ex_dir = cfg.experiment_dir(args.ex)
     snapshot = ex_dir / "config.ini"
-    if snapshot.exists():
+    # Multi-host: decide fresh-vs-resume BEFORE anyone writes (barrier
+    # after the exists() check), then only the lead writes the snapshot
+    # (atomically) and the others read it back after a second barrier —
+    # otherwise a process could see a half-written snapshot and silently
+    # train with default hyperparameters.
+    from unflow_tpu.parallel import is_lead_process, process_shard
+
+    multi = process_shard()[1] > 1
+    existed = snapshot.exists()
+    if multi:
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices("unflow:snapshot-check")
+    if existed:
         # Resume: the snapshot ALWAYS governs (reference src/run.py
         # semantics — the copied config.ini is reloaded), so a resumed
         # experiment can never silently train with different
@@ -166,7 +179,13 @@ def main(argv=None) -> int:
             )
         cfg = load_config(snapshot)
     else:
-        prepare_experiment_dir(cfg, args.ex)
+        if is_lead_process():
+            prepare_experiment_dir(cfg, args.ex)
+        if multi:
+            from jax.experimental import multihost_utils
+
+            multihost_utils.sync_global_devices("unflow:snapshot-written")
+            cfg = load_config(snapshot)  # every host trains the snapshot
     if args.debug:
         # Run-mode clamp only — applied after snapshotting so a --debug
         # first run doesn't bake tiny iteration counts into the snapshot.

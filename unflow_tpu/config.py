@@ -182,8 +182,14 @@ def save_config(cfg: Config, path: str | Path) -> None:
     for key, val in dataclasses.asdict(cfg.train).items():
         train[key] = ",".join(val) if isinstance(val, tuple) else str(val)
     parser["train"] = train
-    with open(path, "w") as f:
+    # Atomic write (tmp + rename): the snapshot governs every resume and
+    # is read concurrently by other processes on multi-host runs — a
+    # reader must never see a truncated file.
+    path = Path(path)
+    tmp = path.with_suffix(path.suffix + ".tmp")
+    with open(tmp, "w") as f:
         parser.write(f)
+    tmp.replace(path)
 
 
 def prepare_experiment_dir(cfg: Config, name: str) -> Path:

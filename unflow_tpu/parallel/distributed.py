@@ -32,6 +32,20 @@ from jax.sharding import NamedSharding
 _COORDINATOR_ENV = ("COORDINATOR_ADDRESS", "JAX_COORDINATOR_ADDRESS")
 
 
+def _pod_detected() -> bool:
+    """True on a multi-host Cloud TPU slice (before backend init).
+
+    Standard TPU-VM tooling exports NO coordinator address — the
+    multi-host marker is the TPU runtime's worker-hostnames list (>1
+    entry). ``UNFLOW_DISTRIBUTED=1`` forces initialization for
+    environments with other launchers.
+    """
+    if os.environ.get("UNFLOW_DISTRIBUTED") == "1":
+        return True
+    hostnames = os.environ.get("TPU_WORKER_HOSTNAMES", "")
+    return len([h for h in hostnames.split(",") if h.strip()]) > 1
+
+
 def init_distributed(
     coordinator_address: str | None = None,
     num_processes: int | None = None,
@@ -40,16 +54,23 @@ def init_distributed(
     """Initialize multi-process JAX when configured; no-op otherwise.
 
     Explicit arguments always initialize. With no arguments, initializes
-    only when a coordinator address is present in the environment
-    (``COORDINATOR_ADDRESS`` / ``JAX_COORDINATOR_ADDRESS``) — on Cloud
-    TPU pods ``jax.distributed.initialize()`` then auto-detects the
-    process topology from the TPU metadata. Idempotent: returns True if
-    the distributed client is (now) initialized.
+    when a coordinator address is present in the environment
+    (``COORDINATOR_ADDRESS`` / ``JAX_COORDINATOR_ADDRESS``), when the
+    TPU runtime reports a multi-host slice (``TPU_WORKER_HOSTNAMES``
+    with >1 entry — standard TPU-VM tooling sets no coordinator var),
+    or when forced with ``UNFLOW_DISTRIBUTED=1`` —
+    ``jax.distributed.initialize()`` then auto-detects the process
+    topology from the TPU metadata. Idempotent: returns True if the
+    distributed client is (now) initialized.
     """
     if jax.distributed.is_initialized():
         return True
     explicit = coordinator_address is not None or process_id is not None
-    if not explicit and not any(os.environ.get(k) for k in _COORDINATOR_ENV):
+    if (
+        not explicit
+        and not any(os.environ.get(k) for k in _COORDINATOR_ENV)
+        and not _pod_detected()
+    ):
         return False
     kwargs: dict[str, Any] = {}
     if coordinator_address is not None:

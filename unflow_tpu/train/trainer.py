@@ -33,6 +33,7 @@ from unflow_tpu.augment import (
     random_photometric,
 )
 from unflow_tpu.config import Config
+from unflow_tpu.data.base import PairDataset
 from unflow_tpu.losses import supervised_loss, unsupervised_loss
 from unflow_tpu.models import FlowNetStack, param_labels
 from unflow_tpu.parallel import (
@@ -47,7 +48,9 @@ from unflow_tpu.train.schedule import piecewise_halving
 from unflow_tpu.train.summaries import ImageSummaryWriter
 from unflow_tpu.utils import MetricsLogger
 
-DEFAULT_NORMALIZATION = ((104.92, 110.18, 114.47), 60.0)
+# Single source of truth lives on the dataset base class; re-exported
+# here because trainer/CLI fallbacks reference it by this name.
+DEFAULT_NORMALIZATION = PairDataset.normalization
 
 
 @flax.struct.dataclass
@@ -257,10 +260,20 @@ class Trainer:
         self.rng = jax.random.PRNGKey(t.seed)
 
         sample = jnp.zeros((1, t.height, t.width, 3), jnp.float32)
-        with jax.default_device(jax.devices()[0]):
+        # local_devices()[0], NOT devices()[0]: on a multi-host pod the
+        # global list's first device belongs to process 0 and is not
+        # addressable from the others — init would crash every non-lead
+        # process at startup.
+        with jax.default_device(jax.local_devices()[0]):
             variables = jax.jit(self.model.init)(jax.random.PRNGKey(t.seed), sample, sample)
         params = variables["params"]
-        if t.finetune or finetune_dirs:
+        self.ckpt = CheckpointManager(self.exp_dir)
+        latest = self.ckpt.latest_step()
+        # Stacked-finetune init applies to FRESH starts only: on resume
+        # the checkpoint restore below overwrites it anyway, so reading
+        # the prior experiments' full checkpoints would be wasted
+        # startup I/O on every restart.
+        if latest is None and (t.finetune or finetune_dirs):
             dirs = list(finetune_dirs) or [
                 Path(cfg.dirs.log) / "ex" / name for name in t.finetune
             ]
@@ -279,8 +292,6 @@ class Trainer:
             self.mesh, spatial_axis=2 if t.spatial_shards > 1 else None
         )
 
-        self.ckpt = CheckpointManager(self.exp_dir)
-        latest = self.ckpt.latest_step()
         if latest is not None:
             restored = self.ckpt.restore(jax.tree_util.tree_map(lambda x: x, state))
             self.state = jax.device_put(restored, rep)
@@ -370,8 +381,11 @@ class Trainer:
                     self.logger.log(step, eval_record)
                     if self._tb is not None:
                         self._tb.scalars(eval_record, step)
-            if (step % t.save_interval == 0 or step >= target) and self._lead:
+            if step % t.save_interval == 0 or step >= target:
+                # EVERY process calls save: orbax's CheckpointManager.save
+                # is a collective (multihost sync barriers inside) — a
+                # lead-only call would deadlock a pod at the first save.
+                # Orbax itself writes from one process.
                 self.ckpt.save(step, jax.device_get(self.state))
-        if self._lead:
-            self.ckpt.save(self.step, jax.device_get(self.state), wait=True)
+        self.ckpt.save(self.step, jax.device_get(self.state), wait=True)
         return {k: float(v) for k, v in logs.items()}

@@ -44,11 +44,24 @@ def _crc32c_table() -> list[int]:
 _TABLE = _crc32c_table()
 
 
-def crc32c(data: bytes, crc: int = 0) -> int:
+def _crc32c_py(data: bytes, crc: int = 0) -> int:
     crc ^= 0xFFFFFFFF
     for b in data:
         crc = (crc >> 8) ^ _TABLE[(crc ^ b) & 0xFF]
     return crc ^ 0xFFFFFFFF
+
+
+try:
+    # C implementation when available: the pure-Python per-byte loop
+    # runs at a few MB/s, which stalls the train loop for seconds per
+    # image-summary write (multi-MB PNG payloads).
+    import google_crc32c as _gcrc
+
+    def crc32c(data: bytes, crc: int = 0) -> int:
+        return _gcrc.extend(crc, data)
+
+except ImportError:  # pragma: no cover - present in the dev image
+    crc32c = _crc32c_py
 
 
 def _masked_crc(data: bytes) -> int:
