@@ -8,14 +8,15 @@ does not block on the tunneled axon TPU — see .claude/skills/verify).
 
 from __future__ import annotations
 
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
 import numpy as np
-
-sys.path.insert(0, "/root/repo")
 
 BATCH = int(sys.argv[1]) if len(sys.argv) > 1 else 8
 H, W = 320, 1152

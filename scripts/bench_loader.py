@@ -18,6 +18,7 @@ import argparse
 import json
 import os
 import sys
+import shutil
 import tempfile
 import time
 
@@ -25,18 +26,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
-
-def photo_like(rng: np.random.RandomState, h: int, w: int) -> np.ndarray:
-    """Low-frequency scene + mild texture: compresses like a road photo."""
-    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
-    base = (
-        0.5
-        + 0.25 * np.sin(xx / 97.0 + rng.rand() * 6)
-        + 0.2 * np.cos(yy / 53.0 + rng.rand() * 6)
-    )
-    im = np.stack([base, base * 0.9, base * 0.8], -1)
-    im += rng.randn(h, w, 3).astype(np.float32) * 0.02
-    return np.clip(im, 0.0, 1.0)
+from _synth import photo_like
 
 
 def main() -> None:
@@ -48,10 +38,17 @@ def main() -> None:
     ap.add_argument("--batches", type=int, default=12)
     args = ap.parse_args()
 
+    tmp = tempfile.mkdtemp(prefix="unflow_loader_bench_")
+    try:
+        _run(args, tmp)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _run(args, tmp: str) -> None:
     from unflow_tpu.data.base import Example, Loader
     from unflow_tpu.data.io import write_image
 
-    tmp = tempfile.mkdtemp(prefix="unflow_loader_bench_")
     rng = np.random.RandomState(0)
     paths = []
     for i in range(args.n_images):

@@ -14,22 +14,10 @@ from __future__ import annotations
 
 import argparse
 import os
+import re
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-
-# sitecustomize imports jax at interpreter startup (axon plugin), so the
-# env var is too late — override via jax.config before backend init, the
-# same pattern as tests/conftest.py.
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
-
-import jax
-
-jax.config.update("jax_platforms", "cpu")
-
-from unflow_tpu.utils.hlo import RESHARDING_OPS, collective_counts, lower_train_step
 
 
 def main():
@@ -38,6 +26,31 @@ def main():
     ap.add_argument("--spec", default="CS")
     ap.add_argument("--occ", default="fb")
     args = ap.parse_args()
+
+    # The requested count must land in XLA_FLAGS before backend init —
+    # REPLACING any existing value (a substring check would silently cap
+    # the run at a pre-existing smaller count). sitecustomize imports
+    # jax at interpreter startup (axon plugin), so the env var alone is
+    # too late for the platform — override via jax.config, the same
+    # pattern as tests/conftest.py.
+    flag_re = r"--xla_force_host_platform_device_count=\d+"
+    new_flag = f"--xla_force_host_platform_device_count={args.n_devices}"
+    flags = os.environ.get("XLA_FLAGS", "")
+    if re.search(flag_re, flags):
+        flags = re.sub(flag_re, new_flag, flags)
+    else:
+        flags = (flags + " " + new_flag).strip()
+    os.environ["XLA_FLAGS"] = flags
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+    from unflow_tpu.utils.hlo import (
+        RESHARDING_OPS,
+        collective_counts,
+        lower_train_step,
+    )
 
     compiled = lower_train_step(args.n_devices, args.spec, args.occ)
     counts = collective_counts(compiled.as_text())

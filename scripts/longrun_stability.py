@@ -59,6 +59,13 @@ def main() -> int:
     t.compute_dtype = "bfloat16"
 
     exp = Path(args.exp)
+    # Fresh run every time: a leftover experiment would resume from its
+    # checkpoints, no-op the first segment (tripping the step asserts),
+    # and mix two runs' rows in the metrics audit.
+    if exp.exists():
+        import shutil
+
+        shutil.rmtree(exp)
     exp.mkdir(parents=True, exist_ok=True)
     mesh = create_mesh(1)
 
