@@ -165,3 +165,50 @@ def test_kitti_png_flow_roundtrip_rounds(tmp_path):
     write_kitti_png_flow(tmp_path / "f.png", flow)
     back, valid = read_kitti_png_flow(tmp_path / "f.png")
     np.testing.assert_allclose(back, np.round(flow * 64) / 64, atol=1e-6)
+
+
+def test_eval_batching_matches_serial(tmp_path, rng):
+    """eval_batch groups SAME-SHAPE pairs into one forward; metrics,
+    dumps, and collected entries must match the serial path exactly
+    (mixed shapes fall into separate groups)."""
+    import jax
+
+    from unflow_tpu.config import Config
+    from unflow_tpu.train import build_model
+
+    cfg = Config()
+    t = cfg.train
+    t.flownet = "S"
+    t.height, t.width = H, W
+    t.compute_dtype = "float32"
+
+    model = build_model(cfg)
+    sample = np.zeros((1, H, W, 3), np.float32)
+    params = model.init(jax.random.PRNGKey(0), sample, sample)["params"]
+    evaluator = Evaluator(cfg, tmp_path, params=params)
+
+    examples = []
+    for i, (h, w) in enumerate([(H, W)] * 3 + [(50, 70)] * 2):
+        im1 = rng.rand(h, w, 3).astype(np.float32)
+        im2 = rng.rand(h, w, 3).astype(np.float32)
+        gt = rng.randn(h, w, 2).astype(np.float32)
+        write_image(tmp_path / f"a{i}.png", im1)
+        write_image(tmp_path / f"b{i}.png", im2)
+        write_flo(tmp_path / f"g{i}.flo", gt)
+        examples.append(Example(
+            im1=str(tmp_path / f"a{i}.png"), im2=str(tmp_path / f"b{i}.png"),
+            flow=str(tmp_path / f"g{i}.flo"), meta={"id": f"{i:06d}"},
+        ))
+
+    serial = evaluator.run(examples, collect=5, eval_batch=1,
+                           output_dir=tmp_path / "d1")
+    batched = evaluator.run(examples, collect=5, eval_batch=4,
+                            output_dir=tmp_path / "d2")
+    assert batched["n"] == serial["n"] == 5
+    np.testing.assert_allclose(batched["aee"], serial["aee"], rtol=1e-6)
+    np.testing.assert_allclose(batched["fl"], serial["fl"], rtol=1e-6)
+    for a, b in zip(serial["entries"], batched["entries"]):
+        np.testing.assert_allclose(b["flow"], a["flow"], atol=1e-5)
+    d1 = sorted(p.name for p in (tmp_path / "d1").iterdir())
+    d2 = sorted(p.name for p in (tmp_path / "d2").iterdir())
+    assert d1 == d2 and len(d1) == 5

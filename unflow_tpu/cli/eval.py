@@ -29,6 +29,8 @@ def main(argv=None) -> int:
     ap.add_argument("--variant", default=None,
                     help="dataset variant (kitti: occ|noc, sintel: clean|final)")
     ap.add_argument("--num", type=int, default=None, help="max examples")
+    ap.add_argument("--batch", type=int, default=8,
+                    help="same-shape pairs per forward pass")
     ap.add_argument("--output", default=None, help="dump directory")
     ap.add_argument("--format", default="flo", choices=("flo", "kitti_png", "viz"))
     ap.add_argument("--gui", action="store_true", help="matplotlib pager")
@@ -63,6 +65,7 @@ def main(argv=None) -> int:
         examples, max_examples=args.num,
         output_dir=args.output, output_format=args.format,
         collect=(args.num or 8) if args.gui else 0,
+        eval_batch=args.batch,
     )
     line = (
         f"{args.dataset}{'/' + args.variant if args.variant else ''}: "

@@ -61,10 +61,18 @@ class Evaluator:
 
     def predict(self, im1: np.ndarray, im2: np.ndarray) -> np.ndarray:
         """Single unbatched pair (H, W, 3) -> (H, W, 2) flow; pads to /64."""
-        p1, orig = pad_to_multiple(im1, 64)
-        p2, _ = pad_to_multiple(im2, 64)
-        flow = self._forward(self.params, jnp.asarray(p1[None]), jnp.asarray(p2[None]))
-        return np.asarray(flow)[0, : orig[0], : orig[1]]
+        return self.predict_batch(im1[None], im2[None])[0]
+
+    def predict_batch(self, ims1: np.ndarray, ims2: np.ndarray) -> np.ndarray:
+        """Same-shape pairs (B, H, W, 3) -> (B, H, W, 2); pads to /64."""
+        b, h, w, _ = ims1.shape
+        hp = -(-h // 64) * 64
+        wp = -(-w // 64) * 64
+        pad = ((0, 0), (0, hp - h), (0, wp - w), (0, 0))
+        p1 = np.pad(ims1, pad)
+        p2 = np.pad(ims2, pad)
+        flow = self._forward(self.params, jnp.asarray(p1), jnp.asarray(p2))
+        return np.asarray(flow)[:, :h, :w]
 
     def run(
         self,
@@ -73,12 +81,18 @@ class Evaluator:
         output_dir: str | Path | None = None,
         output_format: str = "flo",  # flo | kitti_png | viz
         collect: int = 0,
+        eval_batch: int = 1,
     ) -> dict:
         """Returns {'aee': ..., 'fl': ..., 'n': ...} over valid pixels.
 
         ``collect``: additionally return the first K predictions under
         ``'entries'`` ({'im1', 'flow'[, 'gt', 'mask']}) for the GUI pager
         — avoids re-decoding and re-predicting them afterwards.
+
+        ``eval_batch``: run up to this many SAME-SHAPE pairs per forward
+        (benchmark frames are near-uniform in size, so this batches the
+        whole eval; per-example metrics are unchanged — the batch axis
+        is independent).
 
         When examples carry a non-occluded-region source (KITTI flow_noc
         validity / Sintel occlusion masks — ``Example.noc``), also returns
@@ -94,16 +108,14 @@ class Evaluator:
         noc_counts = {"aee_noc": 0, "fl_noc": 0, "aee_occ": 0}
         n = n_gt = 0
         entries = []
-        for i, ex in enumerate(examples):
-            if max_examples is not None and i >= max_examples:
-                break
-            item = load_example(ex, target_hw=None, supervised=ex.flow is not None)
-            flow = self.predict(item["im1"], item["im2"])
-            if collect and len(entries) < collect:
+
+        def consume(i, ex, item, flow):
+            nonlocal aee_sum, fl_sum, n, n_gt
+            if collect and i < collect:
                 entry = {"im1": item["im1"], "flow": flow}
                 if "flow" in item:
                     entry["gt"], entry["mask"] = item["flow"], item["mask"]
-                entries.append(entry)
+                entries.append((i, entry))
             if ex.flow is not None:
                 n_gt += 1
                 gt = jnp.asarray(item["flow"][None])
@@ -141,6 +153,28 @@ class Evaluator:
                         )
                 else:
                     raise ValueError(f"unknown output format {output_format!r}")
+
+        pending: dict[tuple, list] = {}
+
+        def flush(shape_key):
+            group = pending.pop(shape_key)
+            flows = self.predict_batch(
+                np.stack([it["im1"] for _, _, it in group]),
+                np.stack([it["im2"] for _, _, it in group]),
+            )
+            for (i, ex, item), flow in zip(group, flows):
+                consume(i, ex, item, flow)
+
+        for i, ex in enumerate(examples):
+            if max_examples is not None and i >= max_examples:
+                break
+            item = load_example(ex, target_hw=None, supervised=ex.flow is not None)
+            key = item["im1"].shape
+            pending.setdefault(key, []).append((i, ex, item))
+            if len(pending[key]) >= eval_batch:
+                flush(key)
+        for key in list(pending):
+            flush(key)
         if n == 0:
             raise ValueError("no examples evaluated")
         # Metrics average over the examples that HAVE ground truth —
@@ -156,5 +190,8 @@ class Evaluator:
             if count:
                 result[key] = noc_sums[key] / count
         if collect:
-            result["entries"] = entries
+            # same-shape batching can flush out of original order
+            result["entries"] = [
+                e for _, e in sorted(entries, key=lambda t: t[0])
+            ]
         return result
