@@ -553,3 +553,40 @@ def test_packed_unsupervised_has_no_gt(tmp_path, rng):
     )
     with pytest.raises(ValueError, match="no ground truth"):
         next(iter(loader))
+
+
+# --- step-indexed resume (SURVEY §5: deterministic loader state) -------------
+
+
+def test_loader_start_batch_resumes_stream(tmp_path, rng):
+    """start_batch=k yields exactly the full stream with the first k
+    global batches dropped — including across an epoch boundary."""
+    for i in range(8):
+        write_image(tmp_path / f"{i}.png", np.full((8, 8, 3), i / 8.0, np.float32))
+    examples = [
+        Example(im1=str(tmp_path / f"{i}.png"), im2=str(tmp_path / f"{i}.png"))
+        for i in range(8)
+    ]
+    kw = dict(batch_size=2, load_hw=(8, 8), seed=3, num_threads=1)
+
+    full = iter(Loader(examples, **kw))
+    stream = [next(full)["im1"] for _ in range(10)]  # 2.5 epochs
+    for k in (1, 4, 7):  # mid-epoch, boundary, mid-second-epoch
+        it = iter(Loader(examples, start_batch=k, **kw))
+        for j in range(3):
+            np.testing.assert_array_equal(next(it)["im1"], stream[k + j])
+
+    with pytest.raises(ValueError):
+        Loader(examples, start_batch=-1, **kw)
+
+
+def test_synthetic_start_batch_resumes_stream():
+    from unflow_tpu.data.synthetic import batch_iterator
+
+    full = batch_iterator(2, 16, 16, seed=5, supervised=True)
+    stream = [next(full) for _ in range(6)]
+    it = batch_iterator(2, 16, 16, seed=5, supervised=True, start_batch=4)
+    for j in range(2):
+        got = next(it)
+        for key in ("im1", "im2", "flow"):
+            np.testing.assert_array_equal(got[key], stream[4 + j][key])

@@ -26,7 +26,10 @@ from unflow_tpu.train import Trainer
 from unflow_tpu.train.trainer import DEFAULT_NORMALIZATION
 
 
-def build_batches_and_norm(cfg: Config):
+def build_batches_and_norm(cfg: Config, start_batch: int = 0):
+    """start_batch: the resume step — both streams are step-indexed, so
+    a restarted run consumes exactly the batches an uninterrupted run
+    would have (SURVEY §5: deterministic resume)."""
     from unflow_tpu.parallel import per_process_batch_size, process_shard
 
     t = cfg.train
@@ -39,6 +42,7 @@ def build_batches_and_norm(cfg: Config):
             synthetic_batches(
                 local_bs, t.height, t.width,
                 seed=t.seed + shard[0], supervised=t.supervised,
+                start_batch=start_batch,
             ),
             DEFAULT_NORMALIZATION,
         )
@@ -64,6 +68,7 @@ def build_batches_and_norm(cfg: Config):
         num_threads=t.num_threads,
         mode=t.input_mode,
         shard=shard,
+        start_batch=start_batch,
         # uint8 frames to the device; the jitted step converts f32/255
         # (exact) — quarter the decode-side work and transfer bytes.
         image_dtype="uint8" if t.input_mode == "crop_pad" else "float32",
@@ -193,7 +198,16 @@ def main(argv=None) -> int:
         cfg.train.display_interval = 1
         cfg.train.save_interval = 10
 
-    batches, norm = build_batches_and_norm(cfg)
+    # Resume point BEFORE building the loader: the stream skips to the
+    # checkpointed step so resumed training sees the same batches an
+    # uninterrupted run would.
+    from unflow_tpu.train.checkpoint import CheckpointManager
+
+    ckpt_probe = CheckpointManager(ex_dir)
+    resume_step = ckpt_probe.latest_step() or 0
+    ckpt_probe.close()
+
+    batches, norm = build_batches_and_norm(cfg, start_batch=resume_step)
     trainer = Trainer(
         cfg, ex_dir, batches, normalization=norm,
         eval_fn=build_eval_fn(cfg, norm),

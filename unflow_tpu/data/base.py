@@ -224,6 +224,7 @@ class Loader:
         mode: str = "crop_pad",
         image_dtype: str = "float32",
         shard: tuple[int, int] = (0, 1),
+        start_batch: int = 0,
     ):
         if not len(examples):
             raise ValueError("empty example list")
@@ -268,6 +269,13 @@ class Loader:
                 f"{len(examples)} examples < one global batch "
                 f"({batch_size} x {count} processes)"
             )
+        # Deterministic resume: skip the first N GLOBAL batches (= train
+        # steps) in O(1) — the per-epoch shuffles are pure functions of
+        # (seed, epoch), so a resumed run sees exactly the stream an
+        # uninterrupted run would (SURVEY §5 failure-detection row).
+        if start_batch < 0:
+            raise ValueError(f"start_batch must be >= 0, got {start_batch}")
+        self.start_batch = start_batch
 
     def _epoch_order(self, epoch: int) -> np.ndarray:
         idx = np.arange(len(self.examples))
@@ -280,13 +288,14 @@ class Loader:
         process's slice of each global batch when sharded)."""
         index, count = self.shard
         global_bs = self.batch_size * count
-        epoch = 0
+        n_full = len(self.examples) // global_bs  # constant across epochs
+        epoch, b0 = divmod(self.start_batch, n_full)
         while True:
             order = self._epoch_order(epoch)
-            n_full = len(order) // global_bs
-            for b in range(n_full):
+            for b in range(b0, n_full):
                 g = order[b * global_bs : (b + 1) * global_bs]
                 yield g[index * self.batch_size : (index + 1) * self.batch_size]
+            b0 = 0
             if not self.loop:
                 return
             epoch += 1

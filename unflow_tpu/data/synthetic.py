@@ -46,10 +46,19 @@ def batch_iterator(
     seed: int = 0,
     supervised: bool = False,
     max_shift: float = 8.0,
+    start_batch: int = 0,
 ):
-    """Infinite iterator of host batches for the Trainer."""
-    rng = np.random.RandomState(seed)
+    """Infinite iterator of host batches for the Trainer.
+
+    Batch i derives from (seed, i) alone, so a resumed run skips to its
+    checkpointed step in O(1) (``start_batch``) and sees exactly the
+    stream an uninterrupted run would (SURVEY §5 failure-detection row:
+    step-indexed loader state).
+    """
+    index = start_batch
     while True:
+        rng = np.random.RandomState((seed * 1_000_003 + index) % (2**32))
+        index += 1
         im1s, im2s, flows = [], [], []
         for _ in range(batch_size):
             im1, im2, flow = make_pair(rng, height, width, max_shift)
