@@ -116,17 +116,38 @@ def main() -> int:
     diffs = set(np.diff(steps))
     assert diffs == {t.display_interval}, f"step gaps: {sorted(diffs)[:5]}"
 
+    losses = [by_step[s]["loss"] for s in steps]
+    grad_norms = [by_step[s].get("grad_norm", 0.0) for s in steps]
+    step_ms = [by_step[s]["step_ms"] for s in steps if "step_ms" in by_step[s]]
     summary = {
         "steps": args.steps,
+        "geometry": "128x256 batch 4 bf16, FlowNetC unsupervised",
         "resume_at": args.split,
         "wall_s": round(wall, 1),
         "pairs_per_sec": round(args.steps * 4 / wall, 1),
-        "loss_first": by_step[steps[0]]["loss"],
-        "loss_last": by_step[steps[-1]]["loss"],
-        "lr_crossings": [lr0, lr_at(first_cross), lr_at(second_cross)],
+        "step_ms_p50": round(float(np.percentile(step_ms, 50)), 2) if step_ms else None,
+        "step_ms_p95": round(float(np.percentile(step_ms, 95)), 2) if step_ms else None,
+        "loss_first": losses[0],
+        "loss_last": losses[-1],
+        "loss_min": min(losses),
+        "loss_max": max(losses),
+        "grad_norm_min": min(grad_norms),
+        "grad_norm_max": max(grad_norms),
+        "logged_points": len(steps),
+        "all_finite": True,
+        "lr_crossings": {
+            "initial": lr0,
+            f"step_{first_cross}": lr_at(first_cross),
+            f"step_{second_cross}": lr_at(second_cross),
+        },
         "ok": True,
     }
     (exp / "stability_summary.json").write_text(json.dumps(summary))
+    # Committed artifact (VERDICT r3 item 2): log/ is gitignored; the
+    # benchmarks/ copy is the reviewer-visible record of the run.
+    bench_dir = Path(__file__).resolve().parent.parent / "benchmarks"
+    bench_dir.mkdir(exist_ok=True)
+    (bench_dir / "longrun_50k.json").write_text(json.dumps(summary, indent=1))
     print(json.dumps(summary))
     return 0
 

@@ -162,8 +162,40 @@ def test_kitti_raw_exclusion_off_is_silent(tmp_path, rng):
     _make_kitti_raw(tmp_path, rng)
     with _warnings.catch_warnings():
         _warnings.simplefilter("error")
-        examples = KITTIRaw(tmp_path, exclude="off").train_examples()
+        examples = KITTIRaw(
+            tmp_path, exclude="off", warn_partial_corpus=False
+        ).train_examples()
     assert len(examples) == 3
+
+
+def test_kitti_raw_warns_on_partial_corpus(tmp_path, rng):
+    """One drive out of the ~61-drive paper corpus must warn loudly."""
+    _make_kitti_raw(tmp_path, rng)
+    with pytest.warns(UserWarning, match="partial corpus"):
+        KITTIRaw(tmp_path, exclude="off").train_examples()
+
+
+def test_kitti_raw_full_corpus_does_not_warn(tmp_path, rng):
+    """All manifest drives present (with the on-disk _sync suffix) ->
+    no partial-corpus warning."""
+    import warnings as _warnings
+
+    from unflow_tpu.data.bootstrap import _KITTI_RAW_DRIVES
+
+    for drive in _KITTI_RAW_DRIVES:
+        d = tmp_path / "kitti_raw" / f"{drive}_sync" / "image_02" / "data"
+        d.mkdir(parents=True)
+    # only one drive needs actual frames for enumeration to succeed
+    first = (
+        tmp_path / "kitti_raw" / f"{_KITTI_RAW_DRIVES[0]}_sync"
+        / "image_02" / "data"
+    )
+    for i in range(3):
+        write_image(first / f"{i:010d}.png", rng.rand(8, 16, 3).astype(np.float32))
+    with _warnings.catch_warnings():
+        _warnings.simplefilter("error")
+        examples = KITTIRaw(tmp_path, exclude="off").train_examples()
+    assert len(examples) == 2
 
 
 def test_kitti_2012_enumeration(tmp_path, rng):

@@ -74,29 +74,87 @@ class DatasetManifest:
 
 _KITTI_S3 = "https://s3.eu-central-1.amazonaws.com/avg-kitti"
 
-# The standard KITTI raw drives used for unsupervised flow training
-# (city/residential/road categories). The full list is long; these are
-# the 2011_09_26 city drives as a representative default — extend via
-# override_manifest for a complete raw training corpus.
-_KITTI_RAW_DRIVES = (
-    "2011_09_26_drive_0001",
-    "2011_09_26_drive_0002",
-    "2011_09_26_drive_0005",
-    "2011_09_26_drive_0009",
-    "2011_09_26_drive_0011",
-    "2011_09_26_drive_0013",
-    "2011_09_26_drive_0014",
-    "2011_09_26_drive_0017",
-    "2011_09_26_drive_0018",
-    "2011_09_26_drive_0048",
-    "2011_09_26_drive_0051",
-    "2011_09_26_drive_0056",
-    "2011_09_26_drive_0057",
-    "2011_09_26_drive_0059",
-    "2011_09_26_drive_0060",
-    "2011_09_26_drive_0084",
-    "2011_09_26_drive_0091",
-    "2011_09_26_drive_0093",
+# The full KITTI raw training corpus by category, as listed on the KITTI
+# raw-data page (cvlibs.net/datasets/kitti/raw_data.php). The paper
+# recipe (reference core/data.py download lists [MED]: src/e2eflow/kitti/
+# data.py) trains on city + residential + road; campus/person/calibration
+# categories are not part of the flow recipe. Drive numbers are [MED]
+# recollections of the public category tables — verify against the KITTI
+# page before a full download. Eval-scene overlap with KITTI 2012/2015 is
+# handled downstream at index time (data/kitti.py train_mapping
+# exclusion), so the manifest ships every drive.
+_KITTI_RAW_DRIVES_BY_CATEGORY: dict[str, tuple[str, ...]] = {
+    "city": (
+        "2011_09_26_drive_0001",
+        "2011_09_26_drive_0002",
+        "2011_09_26_drive_0005",
+        "2011_09_26_drive_0009",
+        "2011_09_26_drive_0011",
+        "2011_09_26_drive_0013",
+        "2011_09_26_drive_0014",
+        "2011_09_26_drive_0017",
+        "2011_09_26_drive_0018",
+        "2011_09_26_drive_0048",
+        "2011_09_26_drive_0051",
+        "2011_09_26_drive_0056",
+        "2011_09_26_drive_0057",
+        "2011_09_26_drive_0059",
+        "2011_09_26_drive_0060",
+        "2011_09_26_drive_0084",
+        "2011_09_26_drive_0091",
+        "2011_09_26_drive_0093",
+        "2011_09_26_drive_0095",
+        "2011_09_26_drive_0096",
+        "2011_09_26_drive_0104",
+        "2011_09_26_drive_0106",
+        "2011_09_26_drive_0113",
+        "2011_09_26_drive_0117",
+        "2011_09_28_drive_0001",
+        "2011_09_28_drive_0002",
+        "2011_09_29_drive_0026",
+        "2011_09_29_drive_0071",
+    ),
+    "residential": (
+        "2011_09_26_drive_0019",
+        "2011_09_26_drive_0020",
+        "2011_09_26_drive_0022",
+        "2011_09_26_drive_0023",
+        "2011_09_26_drive_0035",
+        "2011_09_26_drive_0036",
+        "2011_09_26_drive_0039",
+        "2011_09_26_drive_0046",
+        "2011_09_26_drive_0061",
+        "2011_09_26_drive_0064",
+        "2011_09_26_drive_0079",
+        "2011_09_26_drive_0086",
+        "2011_09_26_drive_0087",
+        "2011_09_30_drive_0018",
+        "2011_09_30_drive_0020",
+        "2011_09_30_drive_0027",
+        "2011_09_30_drive_0028",
+        "2011_09_30_drive_0033",
+        "2011_09_30_drive_0034",
+        "2011_10_03_drive_0027",
+        "2011_10_03_drive_0034",
+    ),
+    "road": (
+        "2011_09_26_drive_0015",
+        "2011_09_26_drive_0027",
+        "2011_09_26_drive_0028",
+        "2011_09_26_drive_0029",
+        "2011_09_26_drive_0032",
+        "2011_09_26_drive_0052",
+        "2011_09_26_drive_0070",
+        "2011_09_26_drive_0101",
+        "2011_09_29_drive_0004",
+        "2011_09_30_drive_0016",
+        "2011_10_03_drive_0042",
+        "2011_10_03_drive_0047",
+    ),
+}
+
+_KITTI_RAW_DRIVES = tuple(
+    d for drives in _KITTI_RAW_DRIVES_BY_CATEGORY.values() for d in drives
 )
 
 
@@ -109,11 +167,13 @@ def _kitti_raw_archives() -> tuple[ArchiveSpec, ...]:
         for d in _KITTI_RAW_DRIVES
     ]
     # calibration files per recording date
-    specs.append(
+    dates = sorted({d[:10] for d in _KITTI_RAW_DRIVES})
+    specs.extend(
         ArchiveSpec(
-            url=f"{_KITTI_S3}/raw_data/2011_09_26_calib.zip",
+            url=f"{_KITTI_S3}/raw_data/{date}_calib.zip",
             extract_into="kitti_raw",
         )
+        for date in dates
     )
     return tuple(specs)
 
@@ -144,10 +204,12 @@ MANIFESTS: dict[str, DatasetManifest] = {
         layout_root="kitti_raw",
         archives=_kitti_raw_archives(),
         note=(
-            "Default manifest fetches the 2011_09_26 city drives; override "
-            "with the full city/residential/road drive list for the paper "
-            "recipe. Also download kitti_2015 so the default-on eval-scene "
-            "exclusion (train_mapping.txt) can activate."
+            "Manifest enumerates the full paper corpus: "
+            f"{len(_KITTI_RAW_DRIVES_BY_CATEGORY['city'])} city + "
+            f"{len(_KITTI_RAW_DRIVES_BY_CATEGORY['residential'])} residential + "
+            f"{len(_KITTI_RAW_DRIVES_BY_CATEGORY['road'])} road drives "
+            "(~170 GB). Also download kitti_2015 so the default-on "
+            "eval-scene exclusion (train_mapping.txt) can activate."
         ),
     ),
     "sintel": DatasetManifest(

@@ -52,10 +52,12 @@ class KITTIRaw(PairDataset):
         exclude: str = "auto",  # auto | off
         exclude_window: int = 20,
         max_frame_gap: int = 1,
+        warn_partial_corpus: bool = True,
     ):
         super().__init__(data_dir)
         self.exclude_mode = exclude
         self.exclude_window = exclude_window
+        self.warn_partial_corpus = warn_partial_corpus
         # Temporal augmentation (reference input_raw skip_frames [MED]):
         # gap g in 1..max_frame_gap yields pairs (frame_i, frame_{i+g}),
         # multiplying effective motion magnitudes in the training set.
@@ -72,6 +74,37 @@ class KITTIRaw(PairDataset):
                     self.exclude_scenes.append((parts[0], int(parts[1])))
                 else:
                     self.exclude_substrings.append(line)
+
+    def _warn_if_partial_corpus(self, root: Path) -> None:
+        """Warn loudly when the on-disk corpus is a fraction of the paper
+        recipe's city+residential+road drive list (bootstrap manifest).
+
+        The paper recipe trains on the full corpus; silently training on
+        a couple of drives produces much worse flow and wastes a run.
+        """
+        if not self.warn_partial_corpus:
+            return
+        from unflow_tpu.data.bootstrap import _KITTI_RAW_DRIVES
+
+        on_disk = {
+            p.name.replace("_sync", "")
+            for p in root.glob("**/*_drive_*")
+            if p.is_dir() and (p / "image_02").exists()
+        }
+        expected = set(_KITTI_RAW_DRIVES)
+        missing = expected - on_disk
+        if on_disk and len(missing) > len(expected) // 4:
+            import warnings
+
+            warnings.warn(
+                f"KITTIRaw: only {len(expected) - len(missing)} of "
+                f"{len(expected)} paper-recipe drives present under {root} "
+                f"(missing e.g. {sorted(missing)[:3]}). Training on a "
+                "partial corpus degrades accuracy; run "
+                "`python -m unflow_tpu.cli.download kitti_raw` "
+                "for the full city/residential/road set.",
+                stacklevel=3,
+            )
 
     def _auto_exclusions(self) -> list[tuple[str, int]]:
         """Parse the 2012 AND 2015 devkit train mappings when present.
@@ -96,6 +129,7 @@ class KITTIRaw(PairDataset):
         root = self._require(
             self.data_dir / "kitti_raw", "KITTI raw city/residential/road drives."
         )
+        self._warn_if_partial_corpus(root)
         scenes = list(self.exclude_scenes)
         if self.exclude_mode == "auto":
             scenes += self._auto_exclusions()

@@ -351,6 +351,12 @@ class Trainer:
         target = min(max_iters or t.num_iters, t.num_iters)
         logs = {}
         pairs_accum, t_last = 0, time.perf_counter()
+        # Wall time spent in checkpoint saves / in-training eval / image
+        # summaries since t_last. Subtracted from the throughput window so
+        # pairs_per_sec measures the train step itself, not the pauses —
+        # otherwise the number swings wildly interval-to-interval and is
+        # useless for regression tracking.
+        pause_s = 0.0
         # Host-side step mirror: fetching state.step every iteration would
         # cost a device round-trip per step (the tunneled chip pipelines
         # steps; a per-step scalar fetch serializes them). The device
@@ -363,29 +369,39 @@ class Trainer:
             pairs_accum += batch["im1"].shape[0]
             if step % t.display_interval == 0:
                 now = time.perf_counter()
-                throughput = pairs_accum / max(now - t_last, 1e-9)
-                pairs_accum, t_last = 0, now
+                work_s = max(now - t_last - pause_s, 1e-9)
+                throughput = pairs_accum / work_s
+                steps_in_window = pairs_accum / max(batch["im1"].shape[0], 1)
+                step_ms = 1e3 * work_s / max(steps_in_window, 1)
+                pairs_accum, t_last, pause_s = 0, now, 0.0
                 if self.logger is not None:
                     record = {**{k: v for k, v in logs.items()},
-                              "pairs_per_sec": throughput}
+                              "pairs_per_sec": throughput,
+                              "step_ms": step_ms}
                     self.logger.log(step, record)
                     if self._tb is not None:
                         self._tb.scalars(record, step)
                         self._tb.flush()
             if self._summaries is not None and step % self._summary_interval == 0:
+                t0 = time.perf_counter()
                 self._summaries.write(step, self.state.params, batch)
+                pause_s += time.perf_counter() - t0
             if self.eval_fn is not None and t.eval_interval and step % t.eval_interval == 0:
+                t0 = time.perf_counter()
                 metrics = self.eval_fn(self.state.params)
                 if self.logger is not None:
                     eval_record = {f"eval/{k}": v for k, v in metrics.items()}
                     self.logger.log(step, eval_record)
                     if self._tb is not None:
                         self._tb.scalars(eval_record, step)
+                pause_s += time.perf_counter() - t0
             if step % t.save_interval == 0 or step >= target:
                 # EVERY process calls save: orbax's CheckpointManager.save
                 # is a collective (multihost sync barriers inside) — a
                 # lead-only call would deadlock a pod at the first save.
                 # Orbax itself writes from one process.
+                t0 = time.perf_counter()
                 self.ckpt.save(step, jax.device_get(self.state))
+                pause_s += time.perf_counter() - t0
         self.ckpt.save(self.step, jax.device_get(self.state), wait=True)
         return {k: float(v) for k, v in logs.items()}
