@@ -269,3 +269,51 @@ def test_affine_flows_without_masks_synthesizes_validity():
     # valid exactly where the pull-back stays inside the frame
     assert m[0, :, -1, 0].max() == 0.0  # right band pulls from x >= w
     assert m[0, 0, 0, 0] == 1.0
+
+
+def test_order_swap_prob_extremes(rng):
+    from unflow_tpu.augment import random_order_swap
+
+    key = jax.random.PRNGKey(0)
+    im1 = jnp.asarray(rng.rand(4, 8, 8, 3).astype(np.float32))
+    im2 = jnp.asarray(rng.rand(4, 8, 8, 3).astype(np.float32))
+    a, b = random_order_swap(key, im1, im2, 0.0)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(im1))
+    np.testing.assert_array_equal(np.asarray(b), np.asarray(im2))
+    a, b = random_order_swap(key, im1, im2, 1.0)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(im2))
+    np.testing.assert_array_equal(np.asarray(b), np.asarray(im1))
+
+
+def test_order_swap_per_example_and_paired(rng):
+    """The swap decision is drawn per example, and each example either
+    keeps or swaps the WHOLE pair (never mixes frames)."""
+    from unflow_tpu.augment import random_order_swap
+
+    im1 = jnp.asarray(rng.rand(64, 4, 4, 3).astype(np.float32))
+    im2 = jnp.asarray(rng.rand(64, 4, 4, 3).astype(np.float32))
+    a, b = random_order_swap(jax.random.PRNGKey(1), im1, im2, 0.5)
+    a, b = np.asarray(a), np.asarray(b)
+    n_swap = n_keep = 0
+    for i in range(64):
+        if np.array_equal(a[i], np.asarray(im2)[i]):
+            assert np.array_equal(b[i], np.asarray(im1)[i])
+            n_swap += 1
+        else:
+            assert np.array_equal(a[i], np.asarray(im1)[i])
+            assert np.array_equal(b[i], np.asarray(im2)[i])
+            n_keep += 1
+    # p=0.5 over 64 draws: both outcomes occur (P[fail] ~ 2^-63)
+    assert n_swap > 0 and n_keep > 0
+
+
+def test_order_swap_rejected_for_supervised(tmp_path):
+    from unflow_tpu.train import build_model, build_optimizer, make_train_step
+
+    cfg = Config()
+    cfg.train.supervised = True
+    cfg.train.aug_swap_prob = 0.5
+    cfg.train.flownet = "S"
+    model = build_model(cfg)
+    with pytest.raises(ValueError, match="unsupervised"):
+        make_train_step(model, None, cfg)

@@ -117,6 +117,21 @@ def normalize(im: jax.Array, mean: Sequence[float], stddev: float) -> jax.Array:
     return (im * 255.0 - jnp.asarray(mean, im.dtype)) / stddev
 
 
+def random_order_swap(
+    key: jax.Array, im1: jax.Array, im2: jax.Array, prob: float
+) -> tuple[jax.Array, jax.Array]:
+    """Per-example temporal order-swap: with probability ``prob`` an
+    example trains on (im2, im1) instead of (im1, im2).
+
+    Reference: core/input.py's optional image swapping (SURVEY §2.2 P8).
+    Unsupervised-only — the bidirectional objective is direction-
+    symmetric; GT flow is not. An elementwise select on the (sharded)
+    batch axis, so it lowers GSPMD-clean with no resharding.
+    """
+    swap = jax.random.bernoulli(key, prob, (im1.shape[0], 1, 1, 1))
+    return jnp.where(swap, im2, im1), jnp.where(swap, im1, im2)
+
+
 from unflow_tpu.augment.affine import (  # noqa: E402
     apply_affine,
     random_affine,
@@ -126,6 +141,7 @@ from unflow_tpu.augment.affine import (  # noqa: E402
 __all__ = [
     "random_photometric",
     "random_crop_flip",
+    "random_order_swap",
     "normalize",
     "random_affine",
     "apply_affine",

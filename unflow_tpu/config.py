@@ -58,6 +58,12 @@ class TrainConfig:
     aug_rel_translate: float = 0.0
     aug_rel_rotate: float = 0.0
     aug_rel_zoom: float = 0.0
+    # Temporal order-swap augmentation (reference core/input.py's optional
+    # image swapping, SURVEY §2.2 P8): per example, with this probability
+    # train on (im2, im1) instead of (im1, im2). Valid for unsupervised
+    # training only — the bidirectional objective is direction-symmetric,
+    # but supervised GT flow is not. Default off.
+    aug_swap_prob: float = 0.0
     train_all: bool = False
     supervised: bool = False
     finetune: tuple[str, ...] = ()

@@ -30,6 +30,7 @@ from unflow_tpu.augment import (
     normalize,
     random_affine,
     random_crop_flip,
+    random_order_swap,
     random_photometric,
 )
 from unflow_tpu.config import Config
@@ -116,10 +117,15 @@ def make_train_step(
         or t.aug_rel_rotate or t.aug_rel_zoom
         or t.aug_zoom_min != 1.0 or t.aug_zoom_max != 1.0
     )
+    if t.aug_swap_prob and t.supervised:
+        # Swapping frames inverts the motion; sparse GT flow is only
+        # valid for the original direction (reference applies image
+        # swapping on the unsupervised raw streams only).
+        raise ValueError("aug_swap_prob requires unsupervised training")
 
     def train_step(state: TrainState, batch: dict, rng: jax.Array):
         step_rng = jax.random.fold_in(rng, state.step)
-        k_geo, k_photo, k_affine = jax.random.split(step_rng, 3)
+        k_geo, k_photo, k_affine, k_swap = jax.random.split(step_rng, 4)
 
         def as_float(im):
             # uint8 fast-path loader batches: the f32/255 conversion is
@@ -130,6 +136,9 @@ def make_train_step(
             return im
 
         ims = [as_float(batch["im1"]), as_float(batch["im2"])]
+        if t.aug_swap_prob:
+            ims = list(random_order_swap(k_swap, ims[0], ims[1],
+                                         t.aug_swap_prob))
         gt = [batch["flow"]] if t.supervised else None
         masks = [batch["mask"]] if t.supervised and "mask" in batch else None
         if affine_on:
