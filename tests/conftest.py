@@ -9,6 +9,7 @@ we override via jax.config before any backend is initialized instead.
 """
 
 import os
+from pathlib import Path
 
 # Must precede backend initialization; jax is already imported by
 # sitecustomize but no backend exists yet at conftest time.
@@ -17,10 +18,24 @@ if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+# The XLA:CPU AOT loader logs a scary-but-benign machine-feature E-line
+# for every compilation-cache hit (its compile-time pseudo-features like
+# +prefer-no-scatter never appear in host detection). Silence C++ logs.
+os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")
 
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+# Persistent XLA compilation cache (repo-local, gitignored). This is the
+# single biggest suite-time lever on this 1-core host: full train-step
+# compiles take 30-90s each, many tests lower byte-identical programs
+# (cache hits ~0.1s), and repeat runs skip nearly all compilation.
+_cache_dir = Path(__file__).resolve().parent.parent / ".cache" / "jax"
+_cache_dir.mkdir(parents=True, exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", str(_cache_dir))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
