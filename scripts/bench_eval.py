@@ -72,18 +72,26 @@ def main() -> None:
             m = evaluator.run(examples, eval_batch=eval_batch)
             dt = time.perf_counter() - t0
             results[f"batch_{eval_batch}"] = round(m["n"] / dt, 2)
-        print(
-            json.dumps(
-                {
-                    "metric": "eval_pairs_per_sec_kitti_375x1242",
-                    "unit": "pairs/sec",
-                    **results,
-                    "speedup": round(
-                        results[f"batch_{args.batch}"] / results["batch_1"], 2
-                    ),
-                }
-            )
+        summary = {
+            "metric": "eval_pairs_per_sec_kitti_375x1242",
+            "unit": "pairs/sec",
+            "pairs": args.pairs,
+            "backend": jax.default_backend(),
+            **results,
+            "speedup": round(
+                results[f"batch_{args.batch}"] / results["batch_1"], 2
+            ),
+        }
+        # Committed artifact (VERDICT r3 item 8) — same discipline as the
+        # other bench scripts.
+        bench_dir = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "benchmarks",
         )
+        os.makedirs(bench_dir, exist_ok=True)
+        with open(os.path.join(bench_dir, "eval_throughput.json"), "w") as f:
+            json.dump(summary, f, indent=1)
+        print(json.dumps(summary))
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 

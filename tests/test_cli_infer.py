@@ -31,8 +31,11 @@ def test_infer_random_init_writes_flo_and_viz(tmp_path, rng):
 
 
 def test_infer_kitti_png_output(tmp_path, rng):
-    im1 = rng.rand(64, 64, 3).astype(np.float32)
-    im2 = rng.rand(64, 64, 3).astype(np.float32)
+    # Same 50x70 geometry as the .flo test above: the padded forward
+    # program is identical, so the persistent compilation cache serves
+    # the second CLI run without a fresh XLA compile.
+    im1 = rng.rand(50, 70, 3).astype(np.float32)
+    im2 = rng.rand(50, 70, 3).astype(np.float32)
     write_image(tmp_path / "a.png", im1)
     write_image(tmp_path / "b.png", im2)
 
@@ -47,5 +50,5 @@ def test_infer_kitti_png_output(tmp_path, rng):
     )
     assert rc == 0
     flow, valid = read_kitti_png_flow(out)
-    assert flow.shape == (64, 64, 2)
+    assert flow.shape == (50, 70, 2)
     assert valid.all()  # dense prediction: every pixel valid

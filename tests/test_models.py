@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from unflow_tpu.models import (
     FLOW_SCALE,
@@ -173,7 +174,7 @@ def test_phase_deconv_matches_native():
         np.testing.assert_allclose(a, b, rtol=0, atol=2e-5)
 
 
-def test_remat_stack_matches_plain():
+def _assert_remat_matches_plain(spec):
     """remat=True is a pure memory/schedule choice: identical param tree,
     identical outputs, identical gradients (per-stage jax.checkpoint
     recomputes activations in the backward pass)."""
@@ -182,12 +183,12 @@ def test_remat_stack_matches_plain():
     rng = np.random.RandomState(3)
     im1 = jnp.asarray(rng.rand(2, H, W, 3).astype(np.float32))
     im2 = jnp.asarray(rng.rand(2, H, W, 3).astype(np.float32))
-    kw = dict(spec="CS", compute_dtype=jnp.float32, corr_impl="jnp",
+    kw = dict(spec=spec, compute_dtype=jnp.float32, corr_impl="jnp",
               max_displacement=4)
     plain = FlowNetStack(**kw)
     remat = FlowNetStack(remat=True, **kw)
-    p_plain = plain.init(jax.random.PRNGKey(1), im1, im2)["params"]
-    p_remat = remat.init(jax.random.PRNGKey(1), im1, im2)["params"]
+    p_plain = jax.jit(plain.init)(jax.random.PRNGKey(1), im1, im2)["params"]
+    p_remat = jax.jit(remat.init)(jax.random.PRNGKey(1), im1, im2)["params"]
     chex.assert_trees_all_equal(p_plain, p_remat)
 
     def loss(model):
@@ -197,13 +198,24 @@ def test_remat_stack_matches_plain():
             return sum(jnp.sum(jnp.square(f)) for st in stages for f in st)
         return fn
 
-    l_plain, g_plain = jax.value_and_grad(loss(plain))(p_plain)
-    l_remat, g_remat = jax.value_and_grad(loss(remat))(p_plain)
+    l_plain, g_plain = jax.jit(jax.value_and_grad(loss(plain)))(p_plain)
+    l_remat, g_remat = jax.jit(jax.value_and_grad(loss(remat)))(p_plain)
     np.testing.assert_allclose(float(l_remat), float(l_plain), rtol=1e-6)
     for a, b in zip(jax.tree_util.tree_leaves(g_plain),
                     jax.tree_util.tree_leaves(g_remat)):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    rtol=1e-5, atol=1e-6)
+
+
+def test_remat_stack_matches_plain():
+    # Single stage in the default suite (compile-time budget, VERDICT r3
+    # item 1); the cascade variant runs under --runslow below.
+    _assert_remat_matches_plain("S")
+
+
+@pytest.mark.slow
+def test_remat_cascade_matches_plain():
+    _assert_remat_matches_plain("CS")
 
 
 def test_remat_bidirectional_pair_flip_static():

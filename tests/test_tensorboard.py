@@ -49,7 +49,10 @@ def test_trainer_writes_tensorboard(tmp_path):
     t = cfg.train
     t.flownet = "S"
     t.batch_size = 2
-    t.height, t.width = 64, 64
+    # Same geometry as test_train.tiny_config: the init/step/summary
+    # programs are byte-identical, so the persistent compilation cache
+    # (conftest) compiles them once per cold suite run.
+    t.height, t.width = 64, 128
     t.num_iters = 2
     t.save_interval = 2
     t.display_interval = 1
@@ -57,9 +60,10 @@ def test_trainer_writes_tensorboard(tmp_path):
     t.tensorboard = True
     t.compute_dtype = "float32"
     t.corr_impl = "jnp"
+    t.learning_rate = 1e-4
 
     ex_dir = tmp_path / "ex"
-    trainer = Trainer(cfg, ex_dir, batch_iterator(2, 64, 64, seed=0),
+    trainer = Trainer(cfg, ex_dir, batch_iterator(2, 64, 128, seed=0),
                       mesh=create_mesh(1))
     trainer.run()
     trainer.ckpt.close()

@@ -102,7 +102,7 @@ def test_image_summaries_uint8_batch_matches_f32(tmp_path):
     u8 = {k: rng.randint(0, 256, (2, H, W, 3), np.uint8) for k in ("im1", "im2")}
     f32 = {k: v.astype(np.float32) / 255.0 for k, v in u8.items()}
     sample = jnp.zeros((1, H, W, 3), jnp.float32)
-    params = model.init(jax.random.PRNGKey(0), sample, sample)["params"]
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), sample, sample)["params"]
 
     out_u8 = ImageSummaryWriter(
         tmp_path / "a", model, DEFAULT_NORMALIZATION

@@ -9,7 +9,10 @@ ladder to drift out of sync with models/flownet.py.
 
 This is the standard MFU denominator convention: matrix-unit FLOPs only
 (elementwise/vector work is excluded — on TPU it runs on the VPU and is
-not what "utilization of peak" means for the MXU).
+not what "utilization of peak" means for the MXU). Pallas kernels
+(opaque ``pallas_call`` primitives — here the correlation cost volume,
+~1% of step FLOPs at the bench geometry) are not counted, so reported
+MFU is slightly conservative.
 
 (Reference analog: none — the TF1 upstream publishes no FLOP or
 efficiency accounting; added per VERDICT r3 item 3.)
