@@ -108,3 +108,34 @@ def matmul_flops(fn, *args, **kwargs) -> int:
     """
     closed = jax.make_jaxpr(fn, **kwargs)(*args)
     return _jaxpr_flops(closed.jaxpr)
+
+
+def matmul_flops_by_site(fn, *args, **kwargs) -> dict[str, int]:
+    """Like matmul_flops but keyed by op signature (kernel + out shape).
+
+    Identifies where the FLOPs go (e.g. which conv layer's fwd/bwd
+    dominates) without profiling hardware; see
+    scripts/flops_breakdown.py.
+    """
+    sites: dict[str, int] = {}
+
+    def walk(jaxpr):
+        for eqn in jaxpr.eqns:
+            name = eqn.primitive.name
+            if name == "conv_general_dilated":
+                rhs = tuple(eqn.invars[1].aval.shape)
+                out = tuple(eqn.outvars[0].aval.shape)
+                key = f"conv rhs={rhs} out={out}"
+                sites[key] = sites.get(key, 0) + _conv_flops(eqn)
+            elif name == "dot_general":
+                lhs = tuple(eqn.invars[0].aval.shape)
+                out = tuple(eqn.outvars[0].aval.shape)
+                key = f"dot lhs={lhs} out={out}"
+                sites[key] = sites.get(key, 0) + _dot_flops(eqn)
+            else:
+                for sub in _iter_subjaxprs(eqn.params):
+                    walk(sub)
+
+    closed = jax.make_jaxpr(fn, **kwargs)(*args)
+    walk(closed.jaxpr)
+    return sites
