@@ -207,7 +207,6 @@ def test_chunked_gather_hlo_is_collective_clean(monkeypatch):
     from unflow_tpu.utils.hlo import RESHARDING_OPS
 
     monkeypatch.setattr(warp, "_GATHER_CHUNK_BYTES", 1024)  # force chunking
-    monkeypatch.setattr(warp, "_GATHER_SHARD_GRANULARITY", 8)
     mesh = create_mesh(8)
     sh = batch_sharding(mesh)
     rng = np.random.RandomState(0)
@@ -220,7 +219,8 @@ def test_chunked_gather_hlo_is_collective_clean(monkeypatch):
             argnums=(0, 1),
         )(a, b)
 
-    txt = jax.jit(loss_grads).lower(im, fl).compile().as_text()
+    with warp.gather_shard_granularity(8):
+        txt = jax.jit(loss_grads).lower(im, fl).compile().as_text()
     counts = {k: len(re.findall(k, txt)) for k in RESHARDING_OPS}
     assert not any(counts.values()), f"resharding in chunked warp: {counts}"
 
@@ -231,15 +231,16 @@ def test_gather_chunk_selection():
     # unsharded: smallest divisor of b covering the byte target
     # (equal chunks only — uneven ceil-splits pessimize layouts)
     assert warp._pick_n_chunks(16, 1) == 1
-    old = warp._GATHER_SHARD_GRANULARITY
-    try:
-        warp.set_gather_shard_granularity(1)
+    with warp.gather_shard_granularity(1):
         assert warp._pick_n_chunks(16, warp._GATHER_CHUNK_BYTES * 2) == 2
         assert warp._pick_n_chunks(12, warp._GATHER_CHUNK_BYTES * 5) == 6
-        # sharded batch: chunking off entirely (any slice reshards; the
-        # cliff is per-device and each device already holds bytes/g)
-        warp.set_gather_shard_granularity(8)
+    # sharded batch: chunking off entirely (any slice reshards; the
+    # cliff is per-device and each device already holds bytes/g)
+    with warp.gather_shard_granularity(8):
         assert warp._pick_n_chunks(16, warp._GATHER_CHUNK_BYTES * 2) == 1
         assert warp._pick_n_chunks(16, warp._GATHER_CHUNK_BYTES * 17) == 1
-    finally:
-        warp.set_gather_shard_granularity(old)
+    # the declaration is scoped: nothing leaks past the with-block
+    assert warp._GATHER_SHARD_GRANULARITY.get() == 1
+    with pytest.raises(ValueError):
+        with warp.gather_shard_granularity(0):
+            pass

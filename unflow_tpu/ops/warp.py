@@ -29,6 +29,8 @@ leak into training; edge-extend keeps gradients finite everywhere.
 
 from __future__ import annotations
 
+import contextlib
+import contextvars
 import functools
 
 import jax
@@ -131,36 +133,44 @@ def _packed_coords(flow: jax.Array, dtype):
 # at the fw/bw-interleaved 2x batch.
 _GATHER_CHUNK_BYTES = 96 * 2**20
 
-# Data-parallel shard count of the batch axis, set by the trainer.
-# Batch slices under a sharded axis ALWAYS reshard — GSPMD retiles
-# every chunk over the full mesh even when chunk boundaries land on
-# shard boundaries (verified by HLO inspection: 42 all-to-alls + 708
+# Data-parallel shard count of the batch axis, declared (scoped) by the
+# trainer. Batch slices under a sharded axis ALWAYS reshard — GSPMD
+# retiles every chunk over the full mesh even when chunk boundaries land
+# on shard boundaries (verified by HLO inspection: 42 all-to-alls + 708
 # collective-permutes in the warp VJP at 8 aligned chunks x 8 devices).
 # So chunking is single-device-only. That costs nothing: the cliff is
 # per-DEVICE, and with g shards each device's gather operand is
 # bytes/g — at the KITTI crop a sharded step sits far below it.
-_GATHER_SHARD_GRANULARITY = 1
+_GATHER_SHARD_GRANULARITY = contextvars.ContextVar(
+    "gather_shard_granularity", default=1
+)
 
 
-def set_gather_shard_granularity(n: int) -> None:
-    """Declare the data-axis shard count for gather-cliff chunking
-    (trace-time hint; 1 = unsharded).
+@contextlib.contextmanager
+def gather_shard_granularity(n: int):
+    """Scoped declaration of the data-axis shard count for gather-cliff
+    chunking (trace-time hint; 1 = unsharded).
 
-    Process-global and read at TRACE time, not part of any jit cache
-    key: it is owned by the Trainer (set per instance before its step
-    traces). A process mixing sharded training with unsharded
-    above-cliff inference should reset to 1 before tracing the latter —
-    the cost of staleness is the chunking perf heuristic, never
-    correctness.
+    Read at TRACE time, not part of any jit cache key — wrap the calls
+    that trace warp-containing programs (the Trainer wraps its step
+    invocations with its mesh's data-axis size). Scoping via a context
+    manager (rather than a process-global setter) means a sharded
+    trainer can coexist with unsharded above-cliff inference in one
+    process without either silently changing what the other's
+    later-traced programs compile to. Staleness inside a scope costs
+    only the chunking perf heuristic, never correctness.
     """
-    global _GATHER_SHARD_GRANULARITY
     if n < 1:
         raise ValueError(f"shard granularity must be >= 1, got {n}")
-    _GATHER_SHARD_GRANULARITY = n
+    token = _GATHER_SHARD_GRANULARITY.set(int(n))
+    try:
+        yield
+    finally:
+        _GATHER_SHARD_GRANULARITY.reset(token)
 
 
 def _pick_n_chunks(b: int, packed_bytes: int) -> int:
-    if _GATHER_SHARD_GRANULARITY > 1:
+    if _GATHER_SHARD_GRANULARITY.get() > 1:
         return 1  # sharded batch: slicing it is never collective-clean
     want = min(b, max(1, -(-packed_bytes // _GATHER_CHUNK_BYTES)))
     if want == 1:

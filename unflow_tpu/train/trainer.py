@@ -37,6 +37,7 @@ from unflow_tpu.config import Config
 from unflow_tpu.data.base import PairDataset
 from unflow_tpu.losses import supervised_loss, unsupervised_loss
 from unflow_tpu.models import FlowNetStack, param_labels
+from unflow_tpu.ops.warp import gather_shard_granularity
 from unflow_tpu.parallel import (
     batch_sharding,
     create_mesh,
@@ -262,10 +263,10 @@ class Trainer:
             t.num_devices or None, spatial=t.spatial_shards
         )
         # Gather-cliff chunking (ops/warp.py) must slice the batch on
-        # device-shard boundaries; declare the data-axis size.
-        from unflow_tpu.ops.warp import set_gather_shard_granularity
-
-        set_gather_shard_granularity(dict(self.mesh.shape).get("data", 1))
+        # device-shard boundaries; the data-axis size is declared as a
+        # scoped context around the step calls (see run()), so it never
+        # leaks into other programs traced in this process.
+        self._gather_shards = dict(self.mesh.shape).get("data", 1)
         self.rng = jax.random.PRNGKey(t.seed)
 
         sample = jnp.zeros((1, t.height, t.width, 3), jnp.float32)
@@ -371,6 +372,14 @@ class Trainer:
         # steps; a per-step scalar fetch serializes them). The device
         # counter stays authoritative for checkpoint/restore.
         step = self.step  # one sync at (re)entry
+        # Everything traced inside the loop (step, image summaries,
+        # eval_fn) sees this trainer's data-axis shard count for
+        # gather-cliff chunking; the declaration ends with the loop.
+        with gather_shard_granularity(self._gather_shards):
+            return self._run_loop(step, target, logs, pairs_accum, t_last, pause_s)
+
+    def _run_loop(self, step, target, logs, pairs_accum, t_last, pause_s):
+        t = self.cfg.train
         while step < target:
             batch = self._put_batch(next(self.batches))
             self.state, logs = self._step(self.state, batch, self.rng)
