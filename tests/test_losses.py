@@ -1,5 +1,6 @@
 """Loss-stack analytic tests (SURVEY.md §4 rebuild strategy, item b)."""
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -118,7 +119,8 @@ def test_unsupervised_loss_pyramid(rng):
         for i in range(5)
     ]
     flows_bw = [jnp.asarray(-np.asarray(f)) for f in flows_fw]
-    total, logs = unsupervised_loss(im1, im2, flows_fw, flows_bw)
+    # jitted so the persistent compile cache makes warm suite runs fast
+    total, logs = jax.jit(unsupervised_loss)(im1, im2, flows_fw, flows_bw)
     assert np.isfinite(float(total)) and float(total) > 0
     assert "ternary/scale0" in logs and "smooth_2nd/scale4" in logs
 

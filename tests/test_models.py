@@ -72,13 +72,14 @@ def test_stack_frozen_stage_gets_no_gradient(rng):
     im1 = jnp.asarray(rng.randn(1, H, W, 3).astype(np.float32))
     im2 = jnp.asarray(rng.randn(1, H, W, 3).astype(np.float32))
     model = FlowNetStack(spec="sS", corr_impl="jnp")
-    params = model.init(jax.random.PRNGKey(0), im1, im2)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), im1, im2)
 
     def loss(p):
         stages = model.apply(p, im1, im2)
         return sum(jnp.sum(jnp.square(f)) for f in stages[-1])
 
-    grads = jax.grad(loss)(params)["params"]
+    # jitted so the persistent compile cache makes warm suite runs fast
+    grads = jax.jit(jax.grad(loss))(params)["params"]
     g_frozen = jax.tree_util.tree_reduce(
         lambda a, x: a + float(jnp.sum(jnp.abs(x))), grads["stage0_S"], 0.0
     )
@@ -115,13 +116,14 @@ def test_stack_glue_grad_finite_at_zero_brightness_error():
     """
     im = jnp.full((1, H, W, 3), 0.5, jnp.float32)
     model = FlowNetStack(spec="CS", corr_impl="jnp")
-    params = model.init(jax.random.PRNGKey(0), im, im)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), im, im)
 
     def loss(p):
         stages = model.apply(p, im, im)
         return sum(jnp.sum(jnp.square(f)) for st in stages for f in st)
 
-    grads = jax.grad(loss)(params)["params"]
+    # jitted so the persistent compile cache makes warm suite runs fast
+    grads = jax.jit(jax.grad(loss))(params)["params"]
     leaves = jax.tree_util.tree_leaves(grads)
     assert all(bool(jnp.all(jnp.isfinite(g))) for g in leaves)
 
@@ -141,9 +143,14 @@ def test_pair_flipped_tower_dedup_exact(rng):
     im2 = interleave(n2, n1)
     for spec in ("C", "CS"):
         model = FlowNetStack(spec=spec, corr_impl="jnp")
-        params = model.init(jax.random.PRNGKey(0), n1, n2)
-        ref = model.apply(params, im1, im2)
-        dedup = model.apply(params, im1, im2, pair_flipped_im2=True)
+        params = jax.jit(model.init)(jax.random.PRNGKey(0), n1, n2)
+        # jitted (cacheable); static flag keeps the two programs distinct
+        apply = jax.jit(
+            lambda p, a, b, flipped: model.apply(p, a, b, pair_flipped_im2=flipped),
+            static_argnums=3,
+        )
+        ref = apply(params, im1, im2, False)
+        dedup = apply(params, im1, im2, True)
         for st_ref, st_dedup in zip(ref, dedup):
             for f_ref, f_dedup in zip(st_ref, st_dedup):
                 np.testing.assert_allclose(
