@@ -1,21 +1,33 @@
 """Held-out generalization + affine-augmentation A/B on the real chip.
 
-VERDICT r3 items 4-5. Round-3 convergence evidence was a single-batch
-overfit; this script trains UnFlow-C unsupervised on the step-indexed
-synthetic STREAM (fresh textures + shifts every batch) and evaluates
-AEE on a FIXED held-out set the model never trains on — i.e. the
-objective must generalize across the distribution, not memorize.
+VERDICT r3 items 4-5, redone per VERDICT r4 item 1. Round-3 convergence
+evidence was a single-batch overfit; this script trains UnFlow-C
+unsupervised on the step-indexed synthetic STREAM (fresh textures +
+motions every batch) and evaluates AEE on a FIXED held-out set the model
+never trains on — i.e. the objective must generalize across the
+distribution, not memorize.
 
-Runs the production Trainer twice — affine augmentation off, then the
-shipped conservative ranges from configs/synthia_pretrain_c_affine.ini —
-and commits both curves plus the zero-flow baseline to
-benchmarks/heldout_generalization.json.
+The r4 run recorded generalizes:false on the old kron-block/global-
+integer-translation data; scripts/loss_landscape_probe.py traced that to
+a census/warp-degenerate texture. The synthetic source was rebuilt
+(data/synthetic.py: smooth multi-octave texture, similarity-motion flow
+fields); this script is the instrument that measures whether the paper
+objective now learns.
+
+Pass criterion: final held-out AEE < --criterion * zero-flow AEE
+(default 0.5). Why 0.5: zero-flow is the trivial predictor every
+collapsed run matches to within noise (r4's run sat at 0.96-1.04x);
+halving it cannot be noise or collapse — it requires the net to infer
+per-example motion from the frames. The paper's own margin is far larger
+(KITTI-2012 AEE 3.29 vs a ~9px zero-flow baseline, i.e. ~0.37x), so 0.5
+is a lenient-but-meaningful bar for a short synthetic run.
 
 (Reference analog: src/eval_gui.py metric runs are the upstream's only
 correctness instrument; this is the environment-feasible equivalent —
 no KITTI/Sintel data or network egress exists here.)
 
   python scripts/heldout_generalization.py [--steps 4000] [--eval-every 500]
+      [--arms both|off|on] [--data-mode affine|translate] [--criterion 0.5]
 """
 
 from __future__ import annotations
@@ -32,12 +44,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
-H, W, BATCH = 128, 256, 4
 HELDOUT_SEED = 777_000  # far from any training stream seed
-HELDOUT_BATCHES = 8     # 32 pairs, fixed
+HELDOUT_BATCHES = 8     # fixed held-out pairs, never trained on
 
 
-def make_eval_fn(model):
+def make_eval_fn(model, h, w, batch, data_mode):
     import jax
     import jax.numpy as jnp
 
@@ -48,19 +59,20 @@ def make_eval_fn(model):
     from unflow_tpu.train.trainer import DEFAULT_NORMALIZATION
 
     mean, std = DEFAULT_NORMALIZATION
-    it = batch_iterator(BATCH, H, W, seed=HELDOUT_SEED, supervised=True)
+    it = batch_iterator(batch, h, w, seed=HELDOUT_SEED, supervised=True,
+                        mode=data_mode)
     held = [next(it) for _ in range(HELDOUT_BATCHES)]
 
     @jax.jit
     def fwd_aee(params, im1, im2, gt):
         n1, n2 = normalize(im1, mean, std), normalize(im2, mean, std)
         stages = model.apply({"params": params}, n1, n2)
-        flow = full_res_flow(stages[-1], H, W)
+        flow = full_res_flow(stages[-1], h, w)
         return flow_error_avg(flow, gt)
 
     zero_flow_aee = float(
         np.mean([
-            float(flow_error_avg(jnp.zeros((BATCH, H, W, 2)), jnp.asarray(b["flow"])))
+            float(flow_error_avg(jnp.zeros((batch, h, w, 2)), jnp.asarray(b["flow"])))
             for b in held
         ])
     )
@@ -76,23 +88,24 @@ def make_eval_fn(model):
     return eval_fn, zero_flow_aee
 
 
-def run_variant(name: str, affine: bool, steps: int, eval_every: int, exp_root: Path):
+def run_variant(name, affine, args, exp_root: Path):
     from unflow_tpu.config import Config
     from unflow_tpu.data.synthetic import batch_iterator
     from unflow_tpu.parallel import create_mesh
     from unflow_tpu.train import Trainer, build_model
 
+    h, w, batch = args.hw[0], args.hw[1], args.batch
     cfg = Config()
     t = cfg.train
     t.flownet = "C"
-    t.height, t.width = H, W
-    t.batch_size = BATCH
-    t.num_iters = steps
-    t.learning_rate = 1e-4
-    t.decay_after = steps  # flat LR for the comparison window
-    t.display_interval = eval_every
-    t.save_interval = steps
-    t.eval_interval = eval_every
+    t.height, t.width = h, w
+    t.batch_size = batch
+    t.num_iters = args.steps
+    t.learning_rate = args.lr
+    t.decay_after = args.decay_after or args.steps  # default: flat LR
+    t.display_interval = args.eval_every
+    t.save_interval = args.steps
+    t.eval_interval = args.eval_every
     t.image_summary_interval = -1
     t.compute_dtype = "bfloat16"
     if affine:
@@ -111,12 +124,13 @@ def run_variant(name: str, affine: bool, steps: int, eval_every: int, exp_root: 
     exp.mkdir(parents=True)
 
     model = build_model(cfg)
-    eval_fn, zero_aee = make_eval_fn(model)
+    eval_fn, zero_aee = make_eval_fn(model, h, w, batch, args.data_mode)
     # Distinct training stream per variant is NOT wanted: same seed so
     # both variants see identical raw batches and only the augmentation
     # differs.
-    tr = Trainer(cfg, exp, batch_iterator(BATCH, H, W, seed=0), mesh=create_mesh(1),
-                 eval_fn=eval_fn)
+    tr = Trainer(cfg, exp,
+                 batch_iterator(batch, h, w, seed=0, mode=args.data_mode),
+                 mesh=create_mesh(1), eval_fn=eval_fn)
     t0 = time.perf_counter()
     tr.run()
     wall = time.perf_counter() - t0
@@ -131,6 +145,7 @@ def run_variant(name: str, affine: bool, steps: int, eval_every: int, exp_root: 
     return {
         "curve": curve,
         "final_aee": curve[-1]["aee"] if curve else None,
+        "best_aee": min((c["aee"] for c in curve), default=None),
         "zero_flow_aee": round(zero_aee, 4),
         "wall_s": round(wall, 1),
     }
@@ -140,41 +155,62 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=4000)
     ap.add_argument("--eval-every", type=int, default=500)
+    ap.add_argument("--hw", type=int, nargs=2, default=(128, 256))
+    ap.add_argument("--batch", type=int, default=4)
+    ap.add_argument("--lr", type=float, default=1e-4)
+    ap.add_argument("--decay-after", type=int, default=0,
+                    help="LR halving start step; 0 = flat LR for the window")
+    ap.add_argument("--arms", choices=("both", "off", "on"), default="both")
+    ap.add_argument("--data-mode", choices=("affine", "translate"),
+                    default="affine")
+    ap.add_argument("--criterion", type=float, default=0.5,
+                    help="pass iff final AEE < criterion * zero-flow AEE "
+                         "(see module docstring for why 0.5)")
     ap.add_argument("--exp-root", default="log/ex/heldout")
+    ap.add_argument("--out", default="heldout_generalization.json",
+                    help="artifact filename under benchmarks/")
     args = ap.parse_args()
 
+    arms = {"both": ("affine_off", "affine_on"), "off": ("affine_off",),
+            "on": ("affine_on",)}[args.arms]
     results = {}
-    for name, affine in (("affine_off", False), ("affine_on", True)):
+    for name in arms:
         print(f"=== {name} ===", flush=True)
         results[name] = run_variant(
-            name, affine, args.steps, args.eval_every, Path(args.exp_root)
+            name, name == "affine_on", args, Path(args.exp_root)
         )
         print(json.dumps(results[name]), flush=True)
 
-    off, on = results["affine_off"], results["affine_on"]
+    primary = results.get("affine_off") or results["affine_on"]
     summary = {
-        "geometry": f"{H}x{W} batch {BATCH} bf16, FlowNetC unsupervised, lr 1e-4 flat",
-        "train_stream": "synthetic step-indexed stream seed 0 (fresh pairs every batch)",
-        "heldout": f"{HELDOUT_BATCHES * BATCH} fixed pairs, seed {HELDOUT_SEED} (never trained on)",
+        "geometry": (f"{args.hw[0]}x{args.hw[1]} batch {args.batch} bf16, "
+                     f"FlowNetC unsupervised, lr {args.lr:g}"
+                     + ("" if args.decay_after
+                        else " flat")),
+        "train_stream": (f"synthetic step-indexed stream seed 0, "
+                         f"mode={args.data_mode} (fresh pairs every batch)"),
+        "heldout": (f"{HELDOUT_BATCHES * args.batch} fixed pairs, "
+                    f"seed {HELDOUT_SEED} (never trained on)"),
         "steps": args.steps,
-        "zero_flow_aee": off["zero_flow_aee"],
-        "affine_off": off,
-        "affine_on": on,
-        "affine_aee_delta": (
-            round(on["final_aee"] - off["final_aee"], 4)
-            if on["final_aee"] is not None and off["final_aee"] is not None
-            else None
-        ),
-        "generalizes": bool(
-            off["final_aee"] is not None
-            and off["final_aee"] < 0.5 * off["zero_flow_aee"]
-        ),
+        "zero_flow_aee": primary["zero_flow_aee"],
+        "criterion": (f"final_aee < {args.criterion} * zero_flow_aee; 0.5 "
+                      "because collapsed runs match zero-flow within ~5% "
+                      "(r4 artifact) while the paper's real-data margin is "
+                      "~0.37x — see module docstring"),
+        **results,
     }
+    if "affine_off" in results and "affine_on" in results:
+        off, on = results["affine_off"], results["affine_on"]
+        if off["final_aee"] is not None and on["final_aee"] is not None:
+            summary["affine_aee_delta"] = round(
+                on["final_aee"] - off["final_aee"], 4)
+    summary["generalizes"] = bool(
+        primary["final_aee"] is not None
+        and primary["final_aee"] < args.criterion * primary["zero_flow_aee"]
+    )
     bench_dir = Path(__file__).resolve().parent.parent / "benchmarks"
     bench_dir.mkdir(exist_ok=True)
-    (bench_dir / "heldout_generalization.json").write_text(
-        json.dumps(summary, indent=1)
-    )
+    (bench_dir / args.out).write_text(json.dumps(summary, indent=1))
     print(json.dumps(summary))
     return 0
 

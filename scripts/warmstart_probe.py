@@ -1,0 +1,134 @@
+"""Supervised-warmstart -> unsupervised-continuation basin probe.
+
+VERDICT r4 item 1c. The held-out experiment shows unsupervised training
+from random init parking at the zero-flow basin. This probe separates
+the two remaining explanations:
+
+  * Phase A: train SUPERVISED on the same synthetic stream (direct EPE
+    regression — must converge or the architecture/data are broken).
+  * Phase B: continue UNSUPERVISED from phase A's params.
+      - AEE holds / improves  -> the GT basin is a stable minimum of the
+        paper objective; random init just can't reach it at this scale
+        (optimization problem: more steps / schedule / curriculum).
+      - AEE collapses back to zero-flow -> the unsupervised objective
+        (as implemented) prefers zero flow; bug hunt in the loss stack.
+
+(Reference analog: none — upstream never needed this; its CSS recipes
+start from a working unsupervised C stage. Cf. src/e2eflow/core/
+supervised.py for the phase-A loss.)
+
+  python scripts/warmstart_probe.py [--sup-steps 2000] [--unsup-steps 2000]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+from pathlib import Path
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from heldout_generalization import HELDOUT_SEED, make_eval_fn  # noqa: E402
+
+
+def run_phase(name, supervised, steps, eval_every, args, exp_root,
+              finetune_from=None):
+    from unflow_tpu.config import Config
+    from unflow_tpu.data.synthetic import batch_iterator
+    from unflow_tpu.parallel import create_mesh
+    from unflow_tpu.train import Trainer, build_model
+
+    h, w, batch = args.hw[0], args.hw[1], args.batch
+    cfg = Config()
+    t = cfg.train
+    t.flownet = "C"
+    t.height, t.width = h, w
+    t.batch_size = batch
+    t.num_iters = steps
+    t.learning_rate = args.lr
+    t.decay_after = steps
+    t.display_interval = eval_every
+    t.save_interval = steps
+    t.eval_interval = eval_every
+    t.image_summary_interval = -1
+    t.compute_dtype = "bfloat16"
+    t.supervised = supervised
+
+    exp = exp_root / name
+    if exp.exists():
+        shutil.rmtree(exp)
+    exp.mkdir(parents=True)
+
+    model = build_model(cfg)
+    eval_fn, zero_aee = make_eval_fn(model, h, w, batch, "affine")
+    tr = Trainer(
+        cfg, exp,
+        batch_iterator(batch, h, w, seed=0, supervised=supervised,
+                       mode="affine"),
+        mesh=create_mesh(1), eval_fn=eval_fn,
+        finetune_dirs=[finetune_from] if finetune_from else (),
+    )
+    tr.run()
+    tr.ckpt.close()
+
+    curve = []
+    for line in (exp / "metrics.jsonl").read_text().splitlines():
+        row = json.loads(line)
+        if "eval/heldout_aee" in row:
+            curve.append({"step": row["step"],
+                          "aee": round(row["eval/heldout_aee"], 4)})
+    losses = []
+    for line in (exp / "metrics.jsonl").read_text().splitlines():
+        row = json.loads(line)
+        if "loss" in row:
+            losses.append(round(row["loss"], 2))
+    return {"curve": curve, "loss_curve": losses,
+            "final_aee": curve[-1]["aee"] if curve else None,
+            "zero_flow_aee": round(zero_aee, 4)}, exp
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sup-steps", type=int, default=2000)
+    ap.add_argument("--unsup-steps", type=int, default=2000)
+    ap.add_argument("--eval-every", type=int, default=250)
+    ap.add_argument("--hw", type=int, nargs=2, default=(128, 256))
+    ap.add_argument("--batch", type=int, default=4)
+    ap.add_argument("--lr", type=float, default=1e-4)
+    ap.add_argument("--exp-root", default="log/ex/warmstart")
+    args = ap.parse_args()
+    root = Path(args.exp_root)
+
+    print("=== phase A: supervised ===", flush=True)
+    sup, sup_dir = run_phase("sup", True, args.sup_steps, args.eval_every,
+                             args, root)
+    print(json.dumps(sup), flush=True)
+
+    print("=== phase B: unsupervised continuation ===", flush=True)
+    unsup, _ = run_phase("unsup_cont", False, args.unsup_steps,
+                         args.eval_every, args, root, finetune_from=sup_dir)
+    print(json.dumps(unsup), flush=True)
+
+    summary = {
+        "geometry": f"{args.hw[0]}x{args.hw[1]} batch {args.batch} bf16 "
+                    f"FlowNetC, lr {args.lr:g} flat, data mode=affine",
+        "supervised": sup,
+        "unsupervised_continuation": unsup,
+        "zero_flow_aee": sup["zero_flow_aee"],
+        "basin_stable": bool(
+            unsup["final_aee"] is not None and sup["final_aee"] is not None
+            and unsup["final_aee"] < 0.7 * sup["zero_flow_aee"]
+        ),
+    }
+    bench = Path(__file__).resolve().parent.parent / "benchmarks"
+    bench.mkdir(exist_ok=True)
+    (bench / "warmstart_probe.json").write_text(json.dumps(summary, indent=1))
+    print(json.dumps(summary))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

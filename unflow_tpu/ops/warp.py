@@ -169,8 +169,10 @@ def gather_shard_granularity(n: int):
         _GATHER_SHARD_GRANULARITY.reset(token)
 
 
-def _pick_n_chunks(b: int, packed_bytes: int) -> int:
-    if _GATHER_SHARD_GRANULARITY.get() > 1:
+def _pick_n_chunks(b: int, packed_bytes: int, granularity: int | None = None) -> int:
+    if granularity is None:
+        granularity = _GATHER_SHARD_GRANULARITY.get()
+    if granularity > 1:
         return 1  # sharded batch: slicing it is never collective-clean
     want = min(b, max(1, -(-packed_bytes // _GATHER_CHUNK_BYTES)))
     if want == 1:
@@ -183,7 +185,8 @@ def _pick_n_chunks(b: int, packed_bytes: int) -> int:
     return b
 
 
-def _packed_gather(im: jax.Array, idx: jax.Array, wx: jax.Array, wy: jax.Array):
+def _packed_gather(im: jax.Array, idx: jax.Array, wx: jax.Array, wy: jax.Array,
+                   granularity: int | None = None):
     """One 4C-packed gather + bilinear mix at precomputed coords.
 
     Batches whose packed (B, H*W, 4C) operand exceeds the measured TPU
@@ -191,10 +194,13 @@ def _packed_gather(im: jax.Array, idx: jax.Array, wx: jax.Array, wy: jax.Array):
     loop, shapes stay static). Chunk counts divide the batch AND the
     declared shard granularity, so every slice boundary lands on a
     device-shard boundary and GSPMD keeps the chunks shard-local.
+
+    granularity: data-axis shard count (None = read the scoped
+    contextvar at trace time).
     """
     b, h, w, c = im.shape
     packed_bytes = b * h * w * 4 * c * im.dtype.itemsize
-    n_chunks = _pick_n_chunks(b, packed_bytes)
+    n_chunks = _pick_n_chunks(b, packed_bytes, granularity)
     if n_chunks > 1:
         s = b // n_chunks
         outs = []
@@ -281,16 +287,32 @@ def forward_warp_image_jnp(im: jax.Array, flow: jax.Array) -> jax.Array:
     return _splat(im, flow)
 
 
-@functools.partial(jax.jit, static_argnames=("impl",))
+@functools.partial(jax.jit, static_argnames=("impl", "shard_granularity"))
+def _backward_warp_jit(
+    im: jax.Array, flow: jax.Array, impl: str | None, shard_granularity: int
+) -> jax.Array:
+    if impl == "jnp":
+        return backward_warp_jnp(im, flow)
+    coords = _packed_coords(flow, im.dtype)
+    return _packed_gather(im, *coords, granularity=shard_granularity)
+
+
 def backward_warp(im: jax.Array, flow: jax.Array, impl: str | None = None) -> jax.Array:
     """Differentiable bilinear backward warp (see module docstring).
 
     impl: None/'packed' (default, one 4C gather) or 'jnp' (the
     4-gather reference formulation).
+
+    The scoped gather-shard granularity (``gather_shard_granularity``)
+    is read HERE, outside the jit, and passed as a static argument — so
+    two scopes with different granularities can never alias one
+    compiled program through the jit cache (it is part of the key).
+    When called inside an outer trace, the contextvar read happens at
+    outer-trace time, i.e. still under the caller's with-scope.
     """
-    if impl == "jnp":
-        return backward_warp_jnp(im, flow)
-    return backward_warp_packed(im, flow)
+    return _backward_warp_jit(
+        im, flow, impl, _GATHER_SHARD_GRANULARITY.get()
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("impl",))

@@ -375,6 +375,12 @@ class Trainer:
         # Everything traced inside the loop (step, image summaries,
         # eval_fn) sees this trainer's data-axis shard count for
         # gather-cliff chunking; the declaration ends with the loop.
+        # ASSUMPTION: all tracing happens on THIS thread — contextvars
+        # do not propagate to new threads, so any future worker-thread
+        # tracing (async eval, summary offload) must capture the scope
+        # with contextvars.copy_context() or it silently sees the
+        # default granularity of 1 (perf-only resharding, never wrong
+        # results — see ops/warp.py's chunking analysis).
         with gather_shard_granularity(self._gather_shards):
             return self._run_loop(step, target, logs, pairs_accum, t_last, pause_s)
 
