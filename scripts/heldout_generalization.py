@@ -8,11 +8,16 @@ never trains on — i.e. the objective must generalize across the
 distribution, not memorize.
 
 The r4 run recorded generalizes:false on the old kron-block/global-
-integer-translation data; scripts/loss_landscape_probe.py traced that to
-a census/warp-degenerate texture. The synthetic source was rebuilt
-(data/synthetic.py: smooth multi-octave texture, similarity-motion flow
-fields); this script is the instrument that measures whether the paper
-objective now learns.
+integer-translation data; scripts/loss_landscape_probe.py traced part of
+that to a census/warp-degenerate texture (the synthetic source was
+rebuilt: smooth multi-octave texture, similarity-motion flow fields),
+and scripts/warmstart_probe.py showed the rest is optimization scale —
+FlowNet-style nets need tens of thousands of iterations before the flow
+decoder wires up, supervised OR unsupervised. Hence --segments: long
+runs are split into process-recycled segments (this environment's
+tunneled PJRT client leaks every H2D staging buffer, see
+scripts/longrun_stability.py) that resume from checkpoints on the
+step-indexed stream, bit-faithfully.
 
 Pass criterion: final held-out AEE < --criterion * zero-flow AEE
 (default 0.5). Why 0.5: zero-flow is the trivial predictor every
@@ -28,6 +33,7 @@ no KITTI/Sintel data or network egress exists here.)
 
   python scripts/heldout_generalization.py [--steps 4000] [--eval-every 500]
       [--arms both|off|on] [--data-mode affine|translate] [--criterion 0.5]
+      [--segments N] [--hw H W] [--batch B] [--lr LR] [--decay-after N]
 """
 
 from __future__ import annotations
@@ -36,6 +42,7 @@ import argparse
 import json
 import os
 import shutil
+import subprocess
 import sys
 import time
 from pathlib import Path
@@ -88,23 +95,21 @@ def make_eval_fn(model, h, w, batch, data_mode):
     return eval_fn, zero_flow_aee
 
 
-def run_variant(name, affine, args, exp_root: Path):
+def build_cfg(args, affine: bool):
     from unflow_tpu.config import Config
-    from unflow_tpu.data.synthetic import batch_iterator
-    from unflow_tpu.parallel import create_mesh
-    from unflow_tpu.train import Trainer, build_model
 
-    h, w, batch = args.hw[0], args.hw[1], args.batch
+    h, w = args.hw
     cfg = Config()
     t = cfg.train
     t.flownet = "C"
     t.height, t.width = h, w
-    t.batch_size = batch
+    t.batch_size = args.batch
     t.num_iters = args.steps
     t.learning_rate = args.lr
     t.decay_after = args.decay_after or args.steps  # default: flat LR
-    t.display_interval = args.eval_every
-    t.save_interval = args.steps
+    t.decay_interval = max((args.steps - t.decay_after) // 2, 1)
+    t.display_interval = min(args.eval_every, 250)
+    t.save_interval = max(args.steps // max(args.segments, 1), 1)
     t.eval_interval = args.eval_every
     t.image_summary_interval = -1
     t.compute_dtype = "bfloat16"
@@ -117,38 +122,92 @@ def run_variant(name, affine, args, exp_root: Path):
         t.aug_rel_translate = 0.01
         t.aug_rel_rotate = 0.5
         t.aug_rel_zoom = 0.01
+    return cfg
 
+
+def run_segment(args, exp_root: Path) -> int:
+    """Child mode: resume arm at ``start``, train to ``until``, exit."""
+    import jax
+
+    cache = Path(__file__).resolve().parent.parent / ".cache" / "jax"
+    cache.mkdir(parents=True, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", str(cache))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from unflow_tpu.data.synthetic import batch_iterator
+    from unflow_tpu.parallel import create_mesh
+    from unflow_tpu.train import Trainer, build_model
+
+    name, start, until = args.run_segment
+    start, until = int(start), int(until)
+    h, w = args.hw
+    cfg = build_cfg(args, affine=name == "affine_on")
+    model = build_model(cfg)
+    eval_fn, _ = make_eval_fn(model, h, w, args.batch, args.data_mode)
+    it = batch_iterator(args.batch, h, w, seed=0, mode=args.data_mode,
+                        start_batch=start)
+    tr = Trainer(cfg, exp_root / name, it, mesh=create_mesh(1),
+                 eval_fn=eval_fn)
+    assert tr.step == start, f"segment resume landed at {tr.step}, wanted {start}"
+    tr.run(max_iters=until)
+    assert tr.step == until, tr.step
+    tr.ckpt.close()
+    print(f"segment {name} [{start}, {until}) done", flush=True)
+    return 0
+
+
+def run_variant(name: str, args, exp_root: Path):
+    from unflow_tpu.train import build_model
+
+    h, w = args.hw
     exp = exp_root / name
     if exp.exists():
         shutil.rmtree(exp)
     exp.mkdir(parents=True)
 
-    model = build_model(cfg)
-    eval_fn, zero_aee = make_eval_fn(model, h, w, batch, args.data_mode)
-    # Distinct training stream per variant is NOT wanted: same seed so
-    # both variants see identical raw batches and only the augmentation
-    # differs.
-    tr = Trainer(cfg, exp,
-                 batch_iterator(batch, h, w, seed=0, mode=args.data_mode),
-                 mesh=create_mesh(1), eval_fn=eval_fn)
-    t0 = time.perf_counter()
-    tr.run()
-    wall = time.perf_counter() - t0
-    tr.ckpt.close()
+    model = build_model(build_cfg(args, affine=name == "affine_on"))
+    _, zero_aee = make_eval_fn(model, h, w, args.batch, args.data_mode)
 
-    curve = []
+    bounds = [args.steps * i // args.segments for i in range(args.segments + 1)]
+    t0 = time.perf_counter()
+    for start, until in zip(bounds, bounds[1:]):
+        cmd = [sys.executable, os.path.abspath(__file__),
+               "--run-segment", name, str(start), str(until)]
+        cmd += _forwarded_args(args)
+        rc = subprocess.run(cmd).returncode
+        if rc != 0:
+            raise RuntimeError(f"{name} segment [{start},{until}) rc={rc}")
+        print(f"[{time.perf_counter() - t0:.0f}s] {name} segment "
+              f"[{start}, {until}) done", flush=True)
+    wall = time.perf_counter() - t0
+
+    curve, train_loss = [], []
     for line in (exp / "metrics.jsonl").read_text().splitlines():
         row = json.loads(line)
         if "eval/heldout_aee" in row:
             curve.append({"step": row["step"],
                           "aee": round(row["eval/heldout_aee"], 4)})
+        if "loss" in row and row["step"] % args.eval_every == 0:
+            train_loss.append({"step": row["step"],
+                               "loss": round(row["loss"], 2)})
     return {
         "curve": curve,
+        "train_loss": train_loss,
         "final_aee": curve[-1]["aee"] if curve else None,
         "best_aee": min((c["aee"] for c in curve), default=None),
         "zero_flow_aee": round(zero_aee, 4),
         "wall_s": round(wall, 1),
     }
+
+
+def _forwarded_args(args) -> list[str]:
+    fwd = ["--steps", str(args.steps), "--eval-every", str(args.eval_every),
+           "--hw", str(args.hw[0]), str(args.hw[1]),
+           "--batch", str(args.batch), "--lr", str(args.lr),
+           "--decay-after", str(args.decay_after),
+           "--segments", str(args.segments),
+           "--data-mode", args.data_mode, "--exp-root", str(args.exp_root)]
+    return fwd
 
 
 def main() -> int:
@@ -160,6 +219,9 @@ def main() -> int:
     ap.add_argument("--lr", type=float, default=1e-4)
     ap.add_argument("--decay-after", type=int, default=0,
                     help="LR halving start step; 0 = flat LR for the window")
+    ap.add_argument("--segments", type=int, default=1,
+                    help="process-recycling boundaries (PJRT leak, see "
+                         "module docstring); each is a kill/resume")
     ap.add_argument("--arms", choices=("both", "off", "on"), default="both")
     ap.add_argument("--data-mode", choices=("affine", "translate"),
                     default="affine")
@@ -169,29 +231,32 @@ def main() -> int:
     ap.add_argument("--exp-root", default="log/ex/heldout")
     ap.add_argument("--out", default="heldout_generalization.json",
                     help="artifact filename under benchmarks/")
+    ap.add_argument("--run-segment", nargs=3, metavar=("ARM", "START", "UNTIL"),
+                    help=argparse.SUPPRESS)  # internal child mode
     args = ap.parse_args()
+
+    if args.run_segment:
+        return run_segment(args, Path(args.exp_root))
 
     arms = {"both": ("affine_off", "affine_on"), "off": ("affine_off",),
             "on": ("affine_on",)}[args.arms]
     results = {}
     for name in arms:
         print(f"=== {name} ===", flush=True)
-        results[name] = run_variant(
-            name, name == "affine_on", args, Path(args.exp_root)
-        )
+        results[name] = run_variant(name, args, Path(args.exp_root))
         print(json.dumps(results[name]), flush=True)
 
     primary = results.get("affine_off") or results["affine_on"]
     summary = {
         "geometry": (f"{args.hw[0]}x{args.hw[1]} batch {args.batch} bf16, "
                      f"FlowNetC unsupervised, lr {args.lr:g}"
-                     + ("" if args.decay_after
-                        else " flat")),
+                     + ("" if args.decay_after else " flat")),
         "train_stream": (f"synthetic step-indexed stream seed 0, "
                          f"mode={args.data_mode} (fresh pairs every batch)"),
         "heldout": (f"{HELDOUT_BATCHES * args.batch} fixed pairs, "
                     f"seed {HELDOUT_SEED} (never trained on)"),
         "steps": args.steps,
+        "segments": args.segments,
         "zero_flow_aee": primary["zero_flow_aee"],
         "criterion": (f"final_aee < {args.criterion} * zero_flow_aee; 0.5 "
                       "because collapsed runs match zero-flow within ~5% "

@@ -35,7 +35,7 @@ from heldout_generalization import HELDOUT_SEED, make_eval_fn  # noqa: E402
 
 
 def run_phase(name, supervised, steps, eval_every, args, exp_root,
-              finetune_from=None):
+              lr, finetune_from=None):
     from unflow_tpu.config import Config
     from unflow_tpu.data.synthetic import batch_iterator
     from unflow_tpu.parallel import create_mesh
@@ -48,7 +48,7 @@ def run_phase(name, supervised, steps, eval_every, args, exp_root,
     t.height, t.width = h, w
     t.batch_size = batch
     t.num_iters = steps
-    t.learning_rate = args.lr
+    t.learning_rate = lr
     t.decay_after = steps
     t.display_interval = eval_every
     t.save_interval = steps
@@ -56,6 +56,7 @@ def run_phase(name, supervised, steps, eval_every, args, exp_root,
     t.image_summary_interval = -1
     t.compute_dtype = "bfloat16"
     t.supervised = supervised
+    t.grad_clip_norm = args.grad_clip
 
     exp = exp_root / name
     if exp.exists():
@@ -97,24 +98,45 @@ def main() -> int:
     ap.add_argument("--eval-every", type=int, default=250)
     ap.add_argument("--hw", type=int, nargs=2, default=(128, 256))
     ap.add_argument("--batch", type=int, default=4)
-    ap.add_argument("--lr", type=float, default=1e-4)
+    ap.add_argument("--sup-lr", type=float, default=1e-3,
+                    help="phase-A lr (validate_convergence.py: supervised "
+                         "overfit needs 1e-3; 1e-4 is glacial)")
+    ap.add_argument("--unsup-lr", type=float, default=1e-4,
+                    help="phase-B lr (>=2e-4 explodes to the zero-flow "
+                         "basin per validate_convergence.py)")
+    ap.add_argument("--grad-clip", type=float, default=1.0,
+                    help="global-norm clip for BOTH phases (0=off); the "
+                         "first probe run diverged at sup lr 1e-3 without it")
+    ap.add_argument("--sup-eval-every", type=int, default=0,
+                    help="phase-A eval cadence (0 = --eval-every)")
+    ap.add_argument("--skip-b", action="store_true",
+                    help="phase A only (supervised plateau calibration)")
     ap.add_argument("--exp-root", default="log/ex/warmstart")
     args = ap.parse_args()
     root = Path(args.exp_root)
 
     print("=== phase A: supervised ===", flush=True)
-    sup, sup_dir = run_phase("sup", True, args.sup_steps, args.eval_every,
-                             args, root)
+    sup, sup_dir = run_phase("sup", True, args.sup_steps,
+                             args.sup_eval_every or args.eval_every,
+                             args, root, args.sup_lr)
     print(json.dumps(sup), flush=True)
+    if args.skip_b:
+        bench = Path(__file__).resolve().parent.parent / "benchmarks"
+        bench.mkdir(exist_ok=True)
+        (bench / "warmstart_probe.json").write_text(json.dumps(
+            {"supervised_only": sup}, indent=1))
+        return 0
 
     print("=== phase B: unsupervised continuation ===", flush=True)
     unsup, _ = run_phase("unsup_cont", False, args.unsup_steps,
-                         args.eval_every, args, root, finetune_from=sup_dir)
+                         args.eval_every, args, root, args.unsup_lr,
+                         finetune_from=sup_dir)
     print(json.dumps(unsup), flush=True)
 
     summary = {
         "geometry": f"{args.hw[0]}x{args.hw[1]} batch {args.batch} bf16 "
-                    f"FlowNetC, lr {args.lr:g} flat, data mode=affine",
+                    f"FlowNetC, sup lr {args.sup_lr:g} / unsup lr "
+                    f"{args.unsup_lr:g} flat, data mode=affine",
         "supervised": sup,
         "unsupervised_continuation": unsup,
         "zero_flow_aee": sup["zero_flow_aee"],

@@ -46,6 +46,14 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
+def pytest_report_header(config):
+    # Suite time is dominated by XLA compiles on a cold cache (30-90s
+    # each); say which run this is so timing numbers are comparable.
+    entries = sum(1 for _ in _cache_dir.glob("*")) if _cache_dir.exists() else 0
+    state = f"warm ({entries} entries)" if entries else "COLD (first run pays all compiles)"
+    return f"xla persistent compile cache: {state} at {_cache_dir}"
+
+
 def pytest_addoption(parser):
     parser.addoption(
         "--runslow", action="store_true", default=False,

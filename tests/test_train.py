@@ -116,6 +116,40 @@ def test_image_summaries_uint8_batch_matches_f32(tmp_path):
         np.testing.assert_allclose(a, b, atol=1 / 255.0)
 
 
+def test_grad_clip_bounds_update(tmp_path):
+    """grad_clip_norm > 0 must bound the global update norm: with Adam
+    the per-step update is lr-scale regardless, so assert on the logged
+    grad_norm pre-clip vs the clipped optimizer's param delta instead —
+    the clipped run's first-step param movement must not exceed the
+    unclipped run's (clipping can only shrink the step)."""
+    import jax.tree_util as jtu
+
+    deltas = {}
+    for name, clip in (("off", 0.0), ("on", 1e-6)):
+        cfg = tiny_config(tmp_path, num_iters=1, grad_clip_norm=clip)
+        batches = batch_iterator(2, H, W, seed=0)
+        tr = Trainer(cfg, tmp_path / f"ex_clip_{name}", batches,
+                     mesh=create_mesh(1))
+        before = jax.device_get(tr.state.params)
+        tr.run()
+        after = jax.device_get(tr.state.params)
+        deltas[name] = float(
+            optax_global_norm_diff(before, after)
+        )
+        tr.ckpt.close()
+    # A near-zero clip shrinks the effective gradient to ~0; Adam's
+    # normalized step keeps direction but the epsilon floor damps the
+    # magnitude, so the clipped step must be strictly smaller.
+    assert deltas["on"] < deltas["off"], deltas
+
+
+def optax_global_norm_diff(a, b):
+    import jax.tree_util as jtu
+    leaves_a, leaves_b = jtu.tree_leaves(a), jtu.tree_leaves(b)
+    return np.sqrt(sum(float(np.sum((x - y) ** 2))
+                       for x, y in zip(leaves_a, leaves_b)))
+
+
 def test_supervised_training_step(tmp_path):
     cfg = tiny_config(tmp_path, supervised=True, num_iters=3, display_interval=1)
     batches = batch_iterator(2, H, W, seed=0, supervised=True, max_shift=3.0)

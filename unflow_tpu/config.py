@@ -28,6 +28,11 @@ class TrainConfig:
     decay_after: int = 100_000
     decay_interval: int = 100_000
     weight_decay: float = 0.0
+    # Global-norm gradient clipping (0 = off, the reference behavior).
+    # bf16 towers at aggressive LRs can diverge on high-variance streams
+    # (measured: supervised lr 1e-3 batch 8 explodes within 2k steps);
+    # clipping bounds the step without changing steady-state dynamics.
+    grad_clip_norm: float = 0.0
     save_interval: int = 5_000
     display_interval: int = 100
     # Image summaries (flow color / warped frame / occlusion mask PNGs,

@@ -81,6 +81,8 @@ def build_optimizer(cfg: Config, params: dict) -> optax.GradientTransformation:
     adam = optax.adam(schedule)
     if t.weight_decay > 0:
         adam = optax.chain(optax.add_decayed_weights(t.weight_decay), adam)
+    if t.grad_clip_norm > 0:
+        adam = optax.chain(optax.clip_by_global_norm(t.grad_clip_norm), adam)
     labels = param_labels(t.flownet, params)
     if "frozen" in labels.values():
         return optax.multi_transform(
