@@ -134,7 +134,7 @@ def run_segment(args, exp_root: Path) -> int:
     jax.config.update("jax_compilation_cache_dir", str(cache))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-    from unflow_tpu.data.synthetic import batch_iterator
+    from unflow_tpu.data.synthetic import batch_iterator, corpus_iterator
     from unflow_tpu.parallel import create_mesh
     from unflow_tpu.train import Trainer, build_model
 
@@ -144,8 +144,15 @@ def run_segment(args, exp_root: Path) -> int:
     cfg = build_cfg(args, affine=name == "affine_on")
     model = build_model(cfg)
     eval_fn, _ = make_eval_fn(model, h, w, args.batch, args.data_mode)
-    it = batch_iterator(args.batch, h, w, seed=0, mode=args.data_mode,
-                        start_batch=start)
+    if args.corpus:
+        # Fixed finite train corpus cycled in epochs (reference regime;
+        # also decouples feeding from this host's single core).
+        it = corpus_iterator(args.batch, h, w, n_pairs=args.corpus, seed=0,
+                             mode=args.data_mode, start_batch=start,
+                             cache_dir=str(Path(args.exp_root) / "synth_cache"))
+    else:
+        it = batch_iterator(args.batch, h, w, seed=0, mode=args.data_mode,
+                            start_batch=start)
     tr = Trainer(cfg, exp_root / name, it, mesh=create_mesh(1),
                  eval_fn=eval_fn)
     assert tr.step == start, f"segment resume landed at {tr.step}, wanted {start}"
@@ -205,7 +212,7 @@ def _forwarded_args(args) -> list[str]:
            "--hw", str(args.hw[0]), str(args.hw[1]),
            "--batch", str(args.batch), "--lr", str(args.lr),
            "--decay-after", str(args.decay_after),
-           "--segments", str(args.segments),
+           "--segments", str(args.segments), "--corpus", str(args.corpus),
            "--data-mode", args.data_mode, "--exp-root", str(args.exp_root)]
     return fwd
 
@@ -225,6 +232,10 @@ def main() -> int:
     ap.add_argument("--arms", choices=("both", "off", "on"), default="both")
     ap.add_argument("--data-mode", choices=("affine", "translate"),
                     default="affine")
+    ap.add_argument("--corpus", type=int, default=0,
+                    help="train on a FIXED corpus of N pairs cycled in "
+                         "epochs (reference regime) instead of the "
+                         "infinite fresh-pair stream; 0 = stream")
     ap.add_argument("--criterion", type=float, default=0.5,
                     help="pass iff final AEE < criterion * zero-flow AEE "
                          "(see module docstring for why 0.5)")
@@ -251,8 +262,11 @@ def main() -> int:
         "geometry": (f"{args.hw[0]}x{args.hw[1]} batch {args.batch} bf16, "
                      f"FlowNetC unsupervised, lr {args.lr:g}"
                      + ("" if args.decay_after else " flat")),
-        "train_stream": (f"synthetic step-indexed stream seed 0, "
-                         f"mode={args.data_mode} (fresh pairs every batch)"),
+        "train_stream": (
+            f"fixed corpus of {args.corpus} pairs seed 0, "
+            f"mode={args.data_mode}, per-epoch reshuffle" if args.corpus else
+            f"synthetic step-indexed stream seed 0, "
+            f"mode={args.data_mode} (fresh pairs every batch)"),
         "heldout": (f"{HELDOUT_BATCHES * args.batch} fixed pairs, "
                     f"seed {HELDOUT_SEED} (never trained on)"),
         "steps": args.steps,

@@ -54,7 +54,7 @@ def run_phase(name, supervised, steps, eval_every, args, exp_root,
     t.save_interval = steps
     t.eval_interval = eval_every
     t.image_summary_interval = -1
-    t.compute_dtype = "bfloat16"
+    t.compute_dtype = args.dtype
     t.supervised = supervised
     t.grad_clip_norm = args.grad_clip
 
@@ -65,10 +65,17 @@ def run_phase(name, supervised, steps, eval_every, args, exp_root,
 
     model = build_model(cfg)
     eval_fn, zero_aee = make_eval_fn(model, h, w, batch, "affine")
+    if args.corpus:
+        from unflow_tpu.data.synthetic import corpus_iterator
+
+        it = corpus_iterator(batch, h, w, n_pairs=args.corpus, seed=0,
+                             supervised=supervised, mode="affine",
+                             cache_dir=str(exp_root / "synth_cache"))
+    else:
+        it = batch_iterator(batch, h, w, seed=0, supervised=supervised,
+                            mode="affine")
     tr = Trainer(
-        cfg, exp,
-        batch_iterator(batch, h, w, seed=0, supervised=supervised,
-                       mode="affine"),
+        cfg, exp, it,
         mesh=create_mesh(1), eval_fn=eval_fn,
         finetune_dirs=[finetune_from] if finetune_from else (),
     )
@@ -111,6 +118,11 @@ def main() -> int:
                     help="phase-A eval cadence (0 = --eval-every)")
     ap.add_argument("--skip-b", action="store_true",
                     help="phase A only (supervised plateau calibration)")
+    ap.add_argument("--corpus", type=int, default=0,
+                    help="fixed train corpus of N pairs (epoch cycling) "
+                         "instead of the fresh-pair stream; 0 = stream")
+    ap.add_argument("--dtype", default="bfloat16",
+                    choices=("bfloat16", "float32"))
     ap.add_argument("--exp-root", default="log/ex/warmstart")
     args = ap.parse_args()
     root = Path(args.exp_root)

@@ -197,6 +197,105 @@ def _make_batch(index, batch_size, height, width, seed, supervised, max_shift,
     return batch
 
 
+def make_corpus(
+    n_pairs: int,
+    height: int,
+    width: int,
+    seed: int = 0,
+    max_shift: float = 8.0,
+    mode: str = "affine",
+    cache_dir: str | None = None,
+):
+    """Generate (or load from cache) a FIXED corpus of ``n_pairs`` pairs.
+
+    Pair ``i`` is a pure function of (seed, i) (same keying scheme as the
+    stream's batches, but per-pair), so the corpus is reproducible across
+    processes. With ``cache_dir`` the arrays are persisted as ``.npy``
+    and memory-mapped on reload — a resumed segment pays file open cost,
+    not the ~17 ms/pair (128x256) regeneration on this 1-core host.
+
+    Returns dict of arrays: im1/im2 (n, h, w, 3) f32, flow (n, h, w, 2).
+    """
+    names = ("im1", "im2", "flow")
+    if cache_dir is not None:
+        import os
+
+        tag = f"synth_{mode}_{height}x{width}_n{n_pairs}_s{seed}_ms{max_shift:g}"
+        d = os.path.join(cache_dir, tag)
+        done = os.path.join(d, "DONE")
+        if os.path.exists(done):
+            return {k: np.load(os.path.join(d, f"{k}.npy"), mmap_mode="r")
+                    for k in names}
+        os.makedirs(d, exist_ok=True)
+
+    im1 = np.empty((n_pairs, height, width, 3), np.float32)
+    im2 = np.empty((n_pairs, height, width, 3), np.float32)
+    flow = np.empty((n_pairs, height, width, 2), np.float32)
+    for i in range(n_pairs):
+        rng = np.random.RandomState((seed * 1_000_003 + i) % (2**32))
+        im1[i], im2[i], flow[i] = make_pair(rng, height, width, max_shift,
+                                            mode=mode)
+    corpus = {"im1": im1, "im2": im2, "flow": flow}
+    if cache_dir is not None:
+        for k in names:
+            np.save(os.path.join(d, f"{k}.npy"), corpus[k])
+        with open(done, "w") as f:
+            f.write("ok\n")
+    return corpus
+
+
+def corpus_iterator(
+    batch_size: int,
+    height: int,
+    width: int,
+    n_pairs: int,
+    seed: int = 0,
+    supervised: bool = False,
+    max_shift: float = 8.0,
+    start_batch: int = 0,
+    mode: str = "affine",
+    cache_dir: str | None = None,
+):
+    """Epoch iterator over a fixed ``n_pairs`` corpus (vs the infinite
+    fresh-pair stream of :func:`batch_iterator`).
+
+    This is the faithful analog of the reference's training regime — a
+    finite KITTI-raw corpus cycled for many epochs (cf. src/e2eflow/core/
+    input.py queue epochs) — and it decouples training throughput from
+    this environment's single host core: pairs are generated once (then
+    disk-cached), so steady-state feeding is a memmap gather.
+
+    Deterministic + step-indexed: batch ``i`` draws indices from a
+    per-epoch permutation keyed on (seed, epoch), so resume at
+    ``start_batch`` reproduces the uninterrupted stream exactly.
+    Requires ``n_pairs % batch_size == 0`` to keep epoch boundaries
+    aligned with batches.
+    """
+    if n_pairs % batch_size:
+        raise ValueError(f"n_pairs={n_pairs} not divisible by "
+                         f"batch_size={batch_size}")
+    corpus = make_corpus(n_pairs, height, width, seed, max_shift, mode,
+                         cache_dir=cache_dir)
+    per_epoch = n_pairs // batch_size
+    mask = np.ones((batch_size, height, width, 1), np.float32)
+    index = start_batch
+    perm_epoch, perm = -1, None
+    while True:
+        epoch, offset = divmod(index, per_epoch)
+        if epoch != perm_epoch:
+            perm = np.random.RandomState(
+                (seed * 7_919 + epoch) % (2**32)).permutation(n_pairs)
+            perm_epoch = epoch
+        idx = perm[offset * batch_size:(offset + 1) * batch_size]
+        batch = {"im1": np.ascontiguousarray(corpus["im1"][idx]),
+                 "im2": np.ascontiguousarray(corpus["im2"][idx])}
+        if supervised:
+            batch["flow"] = np.ascontiguousarray(corpus["flow"][idx])
+            batch["mask"] = mask
+        yield batch
+        index += 1
+
+
 def batch_iterator(
     batch_size: int,
     height: int,
