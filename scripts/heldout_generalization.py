@@ -113,6 +113,7 @@ def build_cfg(args, affine: bool):
     t.eval_interval = args.eval_every
     t.image_summary_interval = -1
     t.compute_dtype = "bfloat16"
+    t.grad_clip_norm = args.grad_clip
     if affine:
         # The shipped conservative ranges (configs/synthia_pretrain_c_affine.ini)
         t.aug_translate = 0.05
@@ -147,9 +148,12 @@ def run_segment(args, exp_root: Path) -> int:
     if args.corpus:
         # Fixed finite train corpus cycled in epochs (reference regime;
         # also decouples feeding from this host's single core).
+        # uint8 frames: 4x smaller H2D transfers (and 4x slower PJRT
+        # staging leak); the Trainer converts on device.
         it = corpus_iterator(args.batch, h, w, n_pairs=args.corpus, seed=0,
                              mode=args.data_mode, start_batch=start,
-                             cache_dir=str(Path(args.exp_root) / "synth_cache"))
+                             cache_dir=str(Path(args.exp_root) / "synth_cache"),
+                             dtype="uint8")
     else:
         it = batch_iterator(args.batch, h, w, seed=0, mode=args.data_mode,
                             start_batch=start)
@@ -212,6 +216,7 @@ def _forwarded_args(args) -> list[str]:
            "--hw", str(args.hw[0]), str(args.hw[1]),
            "--batch", str(args.batch), "--lr", str(args.lr),
            "--decay-after", str(args.decay_after),
+           "--grad-clip", str(args.grad_clip),
            "--segments", str(args.segments), "--corpus", str(args.corpus),
            "--data-mode", args.data_mode, "--exp-root", str(args.exp_root)]
     return fwd
@@ -226,6 +231,8 @@ def main() -> int:
     ap.add_argument("--lr", type=float, default=1e-4)
     ap.add_argument("--decay-after", type=int, default=0,
                     help="LR halving start step; 0 = flat LR for the window")
+    ap.add_argument("--grad-clip", type=float, default=0.0,
+                    help="optax global-norm clip (0 = off)")
     ap.add_argument("--segments", type=int, default=1,
                     help="process-recycling boundaries (PJRT leak, see "
                          "module docstring); each is a kill/resume")

@@ -68,9 +68,12 @@ def run_phase(name, supervised, steps, eval_every, args, exp_root,
     if args.corpus:
         from unflow_tpu.data.synthetic import corpus_iterator
 
+        # uint8 frames: 4x smaller H2D transfers (and 4x slower PJRT
+        # staging leak); the Trainer converts on device. GT flow stays f32.
         it = corpus_iterator(batch, h, w, n_pairs=args.corpus, seed=0,
                              supervised=supervised, mode="affine",
-                             cache_dir=str(exp_root / "synth_cache"))
+                             cache_dir=str(exp_root / "synth_cache"),
+                             dtype="uint8")
     else:
         it = batch_iterator(batch, h, w, seed=0, supervised=supervised,
                             mode="affine")

@@ -656,3 +656,30 @@ def test_synthetic_corpus_iterator_resume_epochs_and_cache(tmp_path):
 
     with pytest.raises(ValueError):
         next(corpus_iterator(4, 16, 16, n_pairs=6))
+
+
+def test_synthetic_corpus_uint8_quantizes_frames_only(tmp_path):
+    """dtype="uint8" stores 8-bit frames (f32 flow); values round-trip to
+    within the 1/255 quantum of the f32 corpus, and the cache keys the
+    dtype so both variants coexist."""
+    from unflow_tpu.data.synthetic import corpus_iterator, make_corpus
+
+    f32 = make_corpus(4, 16, 16, seed=7, cache_dir=str(tmp_path))
+    u8 = make_corpus(4, 16, 16, seed=7, cache_dir=str(tmp_path),
+                     dtype="uint8")
+    assert np.asarray(u8["im1"]).dtype == np.uint8
+    assert np.asarray(u8["flow"]).dtype == np.float32
+    np.testing.assert_array_equal(np.asarray(u8["flow"]),
+                                  np.asarray(f32["flow"]))
+    for key in ("im1", "im2"):
+        np.testing.assert_allclose(
+            np.asarray(u8[key]).astype(np.float32) / 255.0,
+            np.asarray(f32[key]), atol=0.51 / 255.0)
+
+    it = corpus_iterator(2, 16, 16, n_pairs=4, seed=7, dtype="uint8",
+                         cache_dir=str(tmp_path))
+    batch = next(it)
+    assert batch["im1"].dtype == np.uint8
+
+    with pytest.raises(ValueError):
+        make_corpus(4, 16, 16, seed=7, dtype="float16")

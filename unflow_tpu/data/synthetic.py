@@ -205,6 +205,7 @@ def make_corpus(
     max_shift: float = 8.0,
     mode: str = "affine",
     cache_dir: str | None = None,
+    dtype: str = "float32",
 ):
     """Generate (or load from cache) a FIXED corpus of ``n_pairs`` pairs.
 
@@ -214,13 +215,21 @@ def make_corpus(
     and memory-mapped on reload — a resumed segment pays file open cost,
     not the ~17 ms/pair (128x256) regeneration on this 1-core host.
 
-    Returns dict of arrays: im1/im2 (n, h, w, 3) f32, flow (n, h, w, 2).
+    dtype="uint8" stores frames quantized to 8 bits (flow stays f32);
+    the Trainer's on-device fast path converts back with f32/255. This
+    matches real corpora (KITTI PNGs are 8-bit) and quarters both the
+    host->HBM transfer and this environment's PJRT staging-buffer leak.
+
+    Returns dict of arrays: im1/im2 (n, h, w, 3), flow (n, h, w, 2) f32.
     """
+    if dtype not in ("float32", "uint8"):
+        raise ValueError(f"unsupported corpus dtype {dtype!r}")
     names = ("im1", "im2", "flow")
     if cache_dir is not None:
         import os
 
-        tag = f"synth_{mode}_{height}x{width}_n{n_pairs}_s{seed}_ms{max_shift:g}"
+        tag = (f"synth_{mode}_{height}x{width}_n{n_pairs}_s{seed}"
+               f"_ms{max_shift:g}_{dtype}")
         d = os.path.join(cache_dir, tag)
         done = os.path.join(d, "DONE")
         if os.path.exists(done):
@@ -228,13 +237,17 @@ def make_corpus(
                     for k in names}
         os.makedirs(d, exist_ok=True)
 
-    im1 = np.empty((n_pairs, height, width, 3), np.float32)
-    im2 = np.empty((n_pairs, height, width, 3), np.float32)
+    im_dt = np.uint8 if dtype == "uint8" else np.float32
+    im1 = np.empty((n_pairs, height, width, 3), im_dt)
+    im2 = np.empty((n_pairs, height, width, 3), im_dt)
     flow = np.empty((n_pairs, height, width, 2), np.float32)
     for i in range(n_pairs):
         rng = np.random.RandomState((seed * 1_000_003 + i) % (2**32))
-        im1[i], im2[i], flow[i] = make_pair(rng, height, width, max_shift,
-                                            mode=mode)
+        a, b, f = make_pair(rng, height, width, max_shift, mode=mode)
+        if dtype == "uint8":
+            a = np.round(a * 255.0).astype(np.uint8)
+            b = np.round(b * 255.0).astype(np.uint8)
+        im1[i], im2[i], flow[i] = a, b, f
     corpus = {"im1": im1, "im2": im2, "flow": flow}
     if cache_dir is not None:
         for k in names:
@@ -255,6 +268,7 @@ def corpus_iterator(
     start_batch: int = 0,
     mode: str = "affine",
     cache_dir: str | None = None,
+    dtype: str = "float32",
 ):
     """Epoch iterator over a fixed ``n_pairs`` corpus (vs the infinite
     fresh-pair stream of :func:`batch_iterator`).
@@ -275,7 +289,7 @@ def corpus_iterator(
         raise ValueError(f"n_pairs={n_pairs} not divisible by "
                          f"batch_size={batch_size}")
     corpus = make_corpus(n_pairs, height, width, seed, max_shift, mode,
-                         cache_dir=cache_dir)
+                         cache_dir=cache_dir, dtype=dtype)
     per_epoch = n_pairs // batch_size
     mask = np.ones((batch_size, height, width, 1), np.float32)
     index = start_batch
