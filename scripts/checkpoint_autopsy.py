@@ -30,6 +30,7 @@ def main() -> int:
     ap.add_argument("--hw", type=int, nargs=2, default=(128, 256))
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--seed", type=int, default=777_000)
+    ap.add_argument("--max-shift", type=float, default=8.0)
     ap.add_argument("--flownet", default="C")
     ap.add_argument("--grad-clip", type=float, default=0.0,
                     help="must match the training config (optimizer-state "
@@ -77,7 +78,8 @@ def main() -> int:
 
     mean, std = DEFAULT_NORMALIZATION
     batch = next(batch_iterator(args.batch, h, w, seed=args.seed,
-                                supervised=True, mode="affine"))
+                                supervised=True, mode="affine",
+                                max_shift=args.max_shift))
     n1 = normalize(jnp.asarray(batch["im1"]), mean, std)
     n2 = normalize(jnp.asarray(batch["im2"]), mean, std)
     stages = model.apply({"params": state.params}, n1, n2)

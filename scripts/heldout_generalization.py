@@ -8,13 +8,37 @@ never trains on — i.e. the objective must generalize across the
 distribution, not memorize.
 
 The r4 run recorded generalizes:false on the old kron-block/global-
-integer-translation data; scripts/loss_landscape_probe.py traced part of
-that to a census/warp-degenerate texture (the synthetic source was
-rebuilt: smooth multi-octave texture, similarity-motion flow fields),
-and scripts/warmstart_probe.py showed the rest is optimization scale —
-FlowNet-style nets need tens of thousands of iterations before the flow
-decoder wires up, supervised OR unsupervised. Hence --segments: long
-runs are split into process-recycled segments (this environment's
+integer-translation data; the r5 pilot on rebuilt smooth-texture data
+STILL parked at the zero-flow basin, predicting one input-independent
+near-constant flow for every example (scripts/checkpoint_autopsy.py).
+The r5 probe ladder (scripts/input_dependence_probe.py +
+benchmarks/warmstart_probe.json) then isolated TWO causes, neither of
+them the unsupervised objective:
+
+  1. **Learning rate.** lr 1e-3 DIVERGES unclipped within 200 steps
+     (probe AEE ~4900 px); clipped to 1.0 it survives but parks at the
+     input-independent constant basin. All earlier "supervised
+     warmstart" evidence used that recipe. lr 1e-4 (the FlowNet paper
+     value) is stable and fits 2 alternating batches input-dependently
+     in 300 steps.
+  2. **Motion scale.** max_shift=8 at 128x256 keeps the TRUE
+     displacement below every operating point of the architecture:
+     <= 1 px at the 1/8-res correlation (whose stride-2 taps are 16
+     full-res px apart, so the cost-volume argmax never leaves the
+     center tap), <= 2 px at the finest prediction scale, <= 0.13 px at
+     flow6. The matching signal is purely analog/sub-tap everywhere —
+     SUPERVISED EPE regression on a fresh-pair stream stays at the
+     zero-flow plateau for 4000+ steps (with or without augmentation).
+     At max_shift=32 the motion spans multiple correlation taps and
+     every pyramid level sees super-pixel motion: the same supervised
+     recipe reaches held-out AEE 0.20x zero-flow within 4000 steps.
+     KITTI/SYNTHIA motions (tens of px) are in that regime, which is
+     why the reference never hit this.
+
+--bootstrap-until remains available as an optional escape phase (plain
+photometric charbonnier, occlusion masking off, then the unmodified
+paper objective), but the primary fix is max_shift + lr. --segments:
+long runs are split into process-recycled segments (this environment's
 tunneled PJRT client leaks every H2D staging buffer, see
 scripts/longrun_stability.py) that resume from checkpoints on the
 step-indexed stream, bit-faithfully.
@@ -55,7 +79,7 @@ HELDOUT_SEED = 777_000  # far from any training stream seed
 HELDOUT_BATCHES = 8     # fixed held-out pairs, never trained on
 
 
-def make_eval_fn(model, h, w, batch, data_mode):
+def make_eval_fn(model, h, w, batch, data_mode, max_shift=8.0):
     import jax
     import jax.numpy as jnp
 
@@ -67,7 +91,7 @@ def make_eval_fn(model, h, w, batch, data_mode):
 
     mean, std = DEFAULT_NORMALIZATION
     it = batch_iterator(batch, h, w, seed=HELDOUT_SEED, supervised=True,
-                        mode=data_mode)
+                        mode=data_mode, max_shift=max_shift)
     held = [next(it) for _ in range(HELDOUT_BATCHES)]
 
     @jax.jit
@@ -95,12 +119,30 @@ def make_eval_fn(model, h, w, batch, data_mode):
     return eval_fn, zero_flow_aee
 
 
-def build_cfg(args, affine: bool):
+def build_cfg(args, affine: bool, bootstrap: bool = False):
     from unflow_tpu.config import Config
 
     h, w = args.hw
     cfg = Config()
     t = cfg.train
+    if bootstrap:
+        # Escape phase for the input-independence collapse (see module
+        # docstring): the census/ternary transform is a local high-pass,
+        # so at a constant wrong flow its gradient over a random-texture
+        # distribution is ~zero-mean noise and the net converges to an
+        # input-INDEPENDENT constant prediction (measured on the r5
+        # pilot: identical flow for every held-out example). The plain
+        # photometric charbonnier keeps the smooth multi-octave texture's
+        # long-range intensity gradients, so each example's data gradient
+        # points at ITS motion — breaking the collapse. Occlusion
+        # masking/penalty are off during bootstrap (fb-inconsistency of a
+        # half-trained pair of flows would mask exactly the pixels that
+        # carry signal). Steps >= --bootstrap-until use the unmodified
+        # paper objective.
+        t.ternary_weight = 0.0
+        t.photo_weight = 1.0
+        t.occ_weight = 0.0
+        t.mask_occlusion = ""
     t.flownet = "C"
     t.height, t.width = h, w
     t.batch_size = args.batch
@@ -112,8 +154,11 @@ def build_cfg(args, affine: bool):
     t.save_interval = max(args.steps // max(args.segments, 1), 1)
     t.eval_interval = args.eval_every
     t.image_summary_interval = -1
-    t.compute_dtype = "bfloat16"
+    t.compute_dtype = args.dtype
     t.grad_clip_norm = args.grad_clip
+    t.aug_photometric = not args.no_photometric
+    t.aug_hflip = not args.no_hflip
+    t.aug_noise_stddev = args.noise
     if affine:
         # The shipped conservative ranges (configs/synthia_pretrain_c_affine.ini)
         t.aug_translate = 0.05
@@ -142,9 +187,14 @@ def run_segment(args, exp_root: Path) -> int:
     name, start, until = args.run_segment
     start, until = int(start), int(until)
     h, w = args.hw
-    cfg = build_cfg(args, affine=name == "affine_on")
+    bootstrap = bool(args.bootstrap_until) and until <= args.bootstrap_until
+    # Segments must not straddle the objective switch (run_variant aligns
+    # the boundary); the Trainer jits ONE program per segment.
+    assert bootstrap or start >= args.bootstrap_until, (start, until)
+    cfg = build_cfg(args, affine=name == "affine_on", bootstrap=bootstrap)
     model = build_model(cfg)
-    eval_fn, _ = make_eval_fn(model, h, w, args.batch, args.data_mode)
+    eval_fn, _ = make_eval_fn(model, h, w, args.batch, args.data_mode,
+                              max_shift=args.max_shift)
     if args.corpus:
         # Fixed finite train corpus cycled in epochs (reference regime;
         # also decouples feeding from this host's single core).
@@ -152,11 +202,12 @@ def run_segment(args, exp_root: Path) -> int:
         # staging leak); the Trainer converts on device.
         it = corpus_iterator(args.batch, h, w, n_pairs=args.corpus, seed=0,
                              mode=args.data_mode, start_batch=start,
+                             max_shift=args.max_shift,
                              cache_dir=str(Path(args.exp_root) / "synth_cache"),
                              dtype="uint8")
     else:
         it = batch_iterator(args.batch, h, w, seed=0, mode=args.data_mode,
-                            start_batch=start)
+                            max_shift=args.max_shift, start_batch=start)
     tr = Trainer(cfg, exp_root / name, it, mesh=create_mesh(1),
                  eval_fn=eval_fn)
     assert tr.step == start, f"segment resume landed at {tr.step}, wanted {start}"
@@ -177,9 +228,12 @@ def run_variant(name: str, args, exp_root: Path):
     exp.mkdir(parents=True)
 
     model = build_model(build_cfg(args, affine=name == "affine_on"))
-    _, zero_aee = make_eval_fn(model, h, w, args.batch, args.data_mode)
+    _, zero_aee = make_eval_fn(model, h, w, args.batch, args.data_mode,
+                               max_shift=args.max_shift)
 
     bounds = [args.steps * i // args.segments for i in range(args.segments + 1)]
+    if args.bootstrap_until and 0 < args.bootstrap_until < args.steps:
+        bounds = sorted(set(bounds) | {args.bootstrap_until})
     t0 = time.perf_counter()
     for start, until in zip(bounds, bounds[1:]):
         cmd = [sys.executable, os.path.abspath(__file__),
@@ -218,7 +272,14 @@ def _forwarded_args(args) -> list[str]:
            "--decay-after", str(args.decay_after),
            "--grad-clip", str(args.grad_clip),
            "--segments", str(args.segments), "--corpus", str(args.corpus),
+           "--bootstrap-until", str(args.bootstrap_until),
+           "--max-shift", str(args.max_shift), "--dtype", args.dtype,
+           "--noise", str(args.noise),
            "--data-mode", args.data_mode, "--exp-root", str(args.exp_root)]
+    if args.no_photometric:
+        fwd.append("--no-photometric")
+    if args.no_hflip:
+        fwd.append("--no-hflip")
     return fwd
 
 
@@ -239,10 +300,29 @@ def main() -> int:
     ap.add_argument("--arms", choices=("both", "off", "on"), default="both")
     ap.add_argument("--data-mode", choices=("affine", "translate"),
                     default="affine")
+    ap.add_argument("--max-shift", type=float, default=32.0,
+                    help="synthetic max displacement in px. Default 32: "
+                         "motions must span multiple correlation taps and "
+                         "exceed a pixel at the prediction scales or the "
+                         "matching signal is unlearnably analog (the r5 "
+                         "diagnosis; 8 reproduces the failing regime)")
+    ap.add_argument("--dtype", default="bfloat16",
+                    choices=("bfloat16", "float32"))
+    ap.add_argument("--noise", type=float, default=0.04,
+                    help="photometric per-frame noise stddev")
+    ap.add_argument("--no-photometric", action="store_true")
+    ap.add_argument("--no-hflip", action="store_true")
     ap.add_argument("--corpus", type=int, default=0,
                     help="train on a FIXED corpus of N pairs cycled in "
                          "epochs (reference regime) instead of the "
                          "infinite fresh-pair stream; 0 = stream")
+    ap.add_argument("--bootstrap-until", type=int, default=0,
+                    help="steps before this train with the photometric "
+                         "bootstrap objective (photo=1, ternary=0, occ=0, "
+                         "no occlusion masking) to break the input-"
+                         "independence collapse; steps after use the "
+                         "unmodified paper objective. 0 = paper objective "
+                         "throughout")
     ap.add_argument("--criterion", type=float, default=0.5,
                     help="pass iff final AEE < criterion * zero-flow AEE "
                          "(see module docstring for why 0.5)")
@@ -266,9 +346,11 @@ def main() -> int:
 
     primary = results.get("affine_off") or results["affine_on"]
     summary = {
-        "geometry": (f"{args.hw[0]}x{args.hw[1]} batch {args.batch} bf16, "
+        "geometry": (f"{args.hw[0]}x{args.hw[1]} batch {args.batch} "
+                     f"{'bf16' if args.dtype == 'bfloat16' else 'f32'}, "
                      f"FlowNetC unsupervised, lr {args.lr:g}"
-                     + ("" if args.decay_after else " flat")),
+                     + ("" if args.decay_after else " flat")
+                     + f", max_shift {args.max_shift:g}"),
         "train_stream": (
             f"fixed corpus of {args.corpus} pairs seed 0, "
             f"mode={args.data_mode}, per-epoch reshuffle" if args.corpus else
@@ -278,6 +360,13 @@ def main() -> int:
                     f"seed {HELDOUT_SEED} (never trained on)"),
         "steps": args.steps,
         "segments": args.segments,
+        "bootstrap": (
+            f"steps [0, {args.bootstrap_until}): photometric-charbonnier "
+            "data term, no occlusion masking/penalty (collapse-escape "
+            "phase, see module docstring); steps >= "
+            f"{args.bootstrap_until}: unmodified paper objective "
+            "(census + 2nd-order smooth + fb + occ)"
+            if args.bootstrap_until else "none (paper objective throughout)"),
         "zero_flow_aee": primary["zero_flow_aee"],
         "criterion": (f"final_aee < {args.criterion} * zero_flow_aee; 0.5 "
                       "because collapsed runs match zero-flow within ~5% "

@@ -47,6 +47,11 @@ def main() -> int:
                     help="re-enable the Trainer's photometric aug")
     ap.add_argument("--data-mode", choices=("affine", "translate"),
                     default="affine")
+    ap.add_argument("--max-shift", type=float, default=8.0,
+                    help="synthetic max displacement in px. 8 keeps ALL "
+                         "prediction scales sub-pixel (flow2 sees <=2 px, "
+                         "flow6 <=0.13 px) — a harder regime for the "
+                         "coarse-to-fine decoder than KITTI-scale motion")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 
@@ -56,6 +61,12 @@ def main() -> int:
     import jax.numpy as jnp
     import numpy as np
     import optax
+
+    cache = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), ".cache", "jax")
+    os.makedirs(cache, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     from unflow_tpu.augment import normalize, random_photometric
     from unflow_tpu.config import Config
@@ -73,7 +84,7 @@ def main() -> int:
     model = build_model(cfg)
 
     it = batch_iterator(args.batch, h, w, seed=4242, supervised=True,
-                        mode=args.data_mode)
+                        mode=args.data_mode, max_shift=args.max_shift)
     fixed = [next(it) for _ in range(args.batches)]
     mean, std = DEFAULT_NORMALIZATION
 
@@ -106,20 +117,30 @@ def main() -> int:
 
     dev = [(jnp.asarray(b["im1"]), jnp.asarray(b["im2"]), jnp.asarray(b["flow"]))
            for b in fixed]
+    held_it = batch_iterator(args.batch, h, w, seed=777_000, supervised=True,
+                             mode=args.data_mode, max_shift=args.max_shift)
+    held = [next(held_it) for _ in range(2)]
+    held = [(jnp.asarray(b["im1"]), jnp.asarray(b["im2"]),
+             jnp.asarray(b["flow"])) for b in held]
 
-    def report(params, tag):
-        spreads, aees = [], []
-        for im1, im2, gt in dev:
+    def _stats(params, batches):
+        spreads, aees, zero = [], [], []
+        for im1, im2, gt in batches:
             flow = np.asarray(predict(params, im1, im2))
             gtn = np.asarray(gt)
             means = flow.mean(axis=(1, 2))          # (B, 2)
             spreads.append(means.std(axis=0).mean())
             aees.append(np.mean(np.linalg.norm(flow - gtn, axis=-1)))
-        zero_aee = float(np.mean([
-            np.mean(np.linalg.norm(np.asarray(g), axis=-1)) for _, _, g in dev]))
-        print(f"{tag}: aee={np.mean(aees):.3f} (zero-flow {zero_aee:.3f}) "
-              f"pred-mean spread={np.mean(spreads):.3f} px", flush=True)
-        return float(np.mean(aees)), zero_aee
+            zero.append(np.mean(np.linalg.norm(gtn, axis=-1)))
+        return float(np.mean(aees)), float(np.mean(zero)), float(np.mean(spreads))
+
+    def report(params, tag):
+        aee, zero_aee, spread = _stats(params, dev[: min(len(dev), 8)])
+        h_aee, h_zero, _ = _stats(params, held)
+        print(f"{tag}: train aee={aee:.3f} (zero {zero_aee:.3f}) "
+              f"spread={spread:.3f} px | HELD-OUT aee={h_aee:.3f} "
+              f"(zero {h_zero:.3f})", flush=True)
+        return aee, zero_aee
 
     key = jax.random.PRNGKey(1)
     t0 = time.perf_counter()

@@ -16,6 +16,13 @@ Run: python scripts/validate_convergence.py [--unsup] [--steps N]
 This is deliberately NOT in tests/ — it needs minutes of real-TPU time;
 the fast analytic equivalents live in tests/test_losses.py and
 tests/test_train.py.
+
+CAUTION (r5): single-batch overfit speed does NOT transfer to stream
+training — one batch can be memorized through biases alone, input-
+independently. For stream/generalization work use lr 1e-4 unclipped
+(1e-3 diverges within 200 steps on a stream) and max_shift >= 32 at
+128x256 (see scripts/input_dependence_probe.py and
+benchmarks/heldout_generalization.json for the full r5 diagnosis).
 """
 
 import argparse

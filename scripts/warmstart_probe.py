@@ -34,8 +34,18 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from heldout_generalization import HELDOUT_SEED, make_eval_fn  # noqa: E402
 
 
+def _setup_compile_cache():
+    import jax
+
+    cache = Path(__file__).resolve().parent.parent / ".cache" / "jax"
+    cache.mkdir(parents=True, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", str(cache))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
 def run_phase(name, supervised, steps, eval_every, args, exp_root,
               lr, finetune_from=None):
+    _setup_compile_cache()
     from unflow_tpu.config import Config
     from unflow_tpu.data.synthetic import batch_iterator
     from unflow_tpu.parallel import create_mesh
@@ -57,6 +67,9 @@ def run_phase(name, supervised, steps, eval_every, args, exp_root,
     t.compute_dtype = args.dtype
     t.supervised = supervised
     t.grad_clip_norm = args.grad_clip
+    t.aug_photometric = not args.no_photometric
+    t.aug_hflip = not args.no_hflip
+    t.aug_noise_stddev = args.noise
 
     exp = exp_root / name
     if exp.exists():
@@ -64,7 +77,8 @@ def run_phase(name, supervised, steps, eval_every, args, exp_root,
     exp.mkdir(parents=True)
 
     model = build_model(cfg)
-    eval_fn, zero_aee = make_eval_fn(model, h, w, batch, "affine")
+    eval_fn, zero_aee = make_eval_fn(model, h, w, batch, "affine",
+                                     max_shift=args.max_shift)
     if args.corpus:
         from unflow_tpu.data.synthetic import corpus_iterator
 
@@ -72,11 +86,12 @@ def run_phase(name, supervised, steps, eval_every, args, exp_root,
         # staging leak); the Trainer converts on device. GT flow stays f32.
         it = corpus_iterator(batch, h, w, n_pairs=args.corpus, seed=0,
                              supervised=supervised, mode="affine",
+                             max_shift=args.max_shift,
                              cache_dir=str(exp_root / "synth_cache"),
                              dtype="uint8")
     else:
         it = batch_iterator(batch, h, w, seed=0, supervised=supervised,
-                            mode="affine")
+                            mode="affine", max_shift=args.max_shift)
     tr = Trainer(
         cfg, exp, it,
         mesh=create_mesh(1), eval_fn=eval_fn,
@@ -108,15 +123,20 @@ def main() -> int:
     ap.add_argument("--eval-every", type=int, default=250)
     ap.add_argument("--hw", type=int, nargs=2, default=(128, 256))
     ap.add_argument("--batch", type=int, default=4)
-    ap.add_argument("--sup-lr", type=float, default=1e-3,
-                    help="phase-A lr (validate_convergence.py: supervised "
-                         "overfit needs 1e-3; 1e-4 is glacial)")
+    ap.add_argument("--sup-lr", type=float, default=1e-4,
+                    help="phase-A lr. 1e-4 (FlowNet paper value): 1e-3 "
+                         "diverges unclipped and parks at the input-"
+                         "independent constant basin clipped (r5 "
+                         "input_dependence_probe findings); overfit-speed "
+                         "intuition from validate_convergence.py does NOT "
+                         "transfer to stream learning")
     ap.add_argument("--unsup-lr", type=float, default=1e-4,
                     help="phase-B lr (>=2e-4 explodes to the zero-flow "
                          "basin per validate_convergence.py)")
-    ap.add_argument("--grad-clip", type=float, default=1.0,
-                    help="global-norm clip for BOTH phases (0=off); the "
-                         "first probe run diverged at sup lr 1e-3 without it")
+    ap.add_argument("--grad-clip", type=float, default=0.0,
+                    help="global-norm clip for BOTH phases (0=off). At lr "
+                         "1e-4 no clip is needed; the r5 collapse recipe "
+                         "was lr 1e-3 + clip 1.0")
     ap.add_argument("--sup-eval-every", type=int, default=0,
                     help="phase-A eval cadence (0 = --eval-every)")
     ap.add_argument("--skip-b", action="store_true",
@@ -126,6 +146,16 @@ def main() -> int:
                          "instead of the fresh-pair stream; 0 = stream")
     ap.add_argument("--dtype", default="bfloat16",
                     choices=("bfloat16", "float32"))
+    ap.add_argument("--max-shift", type=float, default=32.0,
+                    help="synthetic max displacement (see "
+                         "heldout_generalization.py --max-shift)")
+    ap.add_argument("--noise", type=float, default=0.04,
+                    help="photometric per-frame noise stddev (the one "
+                         "aug component that corrupts matching)")
+    ap.add_argument("--no-photometric", action="store_true",
+                    help="disable the Trainer's photometric augmentation")
+    ap.add_argument("--no-hflip", action="store_true",
+                    help="disable the shared random horizontal flip")
     ap.add_argument("--exp-root", default="log/ex/warmstart")
     args = ap.parse_args()
     root = Path(args.exp_root)
@@ -149,9 +179,11 @@ def main() -> int:
     print(json.dumps(unsup), flush=True)
 
     summary = {
-        "geometry": f"{args.hw[0]}x{args.hw[1]} batch {args.batch} bf16 "
-                    f"FlowNetC, sup lr {args.sup_lr:g} / unsup lr "
-                    f"{args.unsup_lr:g} flat, data mode=affine",
+        "geometry": (f"{args.hw[0]}x{args.hw[1]} batch {args.batch} "
+                     f"{'bf16' if args.dtype == 'bfloat16' else 'f32'} "
+                     f"FlowNetC, sup lr {args.sup_lr:g} / unsup lr "
+                     f"{args.unsup_lr:g} flat, data mode=affine, "
+                     f"max_shift {args.max_shift:g}"),
         "supervised": sup,
         "unsupervised_continuation": unsup,
         "zero_flow_aee": sup["zero_flow_aee"],

@@ -69,6 +69,21 @@ class TrainConfig:
     # training only — the bidirectional objective is direction-symmetric,
     # but supervised GT flow is not. Default off.
     aug_swap_prob: float = 0.0
+    # Photometric augmentation (reference core/augment.py::
+    # random_photometric) and the shared random horizontal flip
+    # (core/input.py). On by default to match the reference's training
+    # regime; exposed because controlled experiments (and supervised
+    # fine-tuning on clean synthetic GT) need them independently
+    # switchable.
+    aug_photometric: bool = True
+    aug_hflip: bool = True
+    # Stddev of the per-frame i.i.d. gaussian noise inside the
+    # photometric augmentation (reference core/augment.py noise_stddev
+    # [MED]). Exposed separately from aug_photometric because noise is
+    # the one component that corrupts frame-to-frame MATCHING (contrast/
+    # brightness/colour/gamma are drawn once per example and shared
+    # across the pair, so they cancel in the data terms).
+    aug_noise_stddev: float = 0.04
     train_all: bool = False
     supervised: bool = False
     finetune: tuple[str, ...] = ()

@@ -152,8 +152,11 @@ def gather_shard_granularity(n: int):
     chunking (trace-time hint; 1 = unsharded).
 
     Read at TRACE time, not part of any jit cache key — wrap the calls
-    that trace warp-containing programs (the Trainer wraps its step
-    invocations with its mesh's data-axis size). Scoping via a context
+    that trace warp-containing programs. (The Trainer does not rely on
+    ambient scoping for its hot path: make_train_step re-enters this
+    scope inside the traced body with a closure-bound value, so the
+    compiled step can never alias a program traced under a different
+    granularity, and worker-thread tracing sees the right value.) Scoping via a context
     manager (rather than a process-global setter) means a sharded
     trainer can coexist with unsharded above-cliff inference in one
     process without either silently changing what the other's

@@ -96,11 +96,19 @@ def make_train_step(
     tx: optax.GradientTransformation,
     cfg: Config,
     normalization=DEFAULT_NORMALIZATION,
+    gather_granularity: int = 1,
 ) -> Callable:
     """Returns train_step(state, batch, rng) -> (state, logs).
 
     batch: {'im1', 'im2'} in [0,1] floats (+ 'flow','mask' if supervised),
     any size >= (height, width); cropping/flip/photometric run on-device.
+
+    gather_granularity: the mesh's data-axis shard count, BOUND into the
+    step's closure — the body re-enters the gather-cliff scope during
+    tracing, so the compiled program always reflects this value, never
+    the ambient contextvar of whatever thread happens to trace it, and
+    two trainers with different meshes can never alias one compiled
+    program through a stale scope (each binds its own value here).
     """
     t = cfg.train
     weights = cfg.train.loss_weights()
@@ -127,6 +135,13 @@ def make_train_step(
         raise ValueError("aug_swap_prob requires unsupervised training")
 
     def train_step(state: TrainState, batch: dict, rng: jax.Array):
+        # Bind the closure's granularity for everything traced below
+        # (warp chunking heuristics); a with-block around the body runs
+        # at trace time, which is exactly when the ops read the scope.
+        with gather_shard_granularity(gather_granularity):
+            return _train_step_body(state, batch, rng)
+
+    def _train_step_body(state: TrainState, batch: dict, rng: jax.Array):
         step_rng = jax.random.fold_in(rng, state.step)
         k_geo, k_photo, k_affine, k_swap = jax.random.split(step_rng, 4)
 
@@ -156,13 +171,18 @@ def make_train_step(
         # ONCE (two calls replaying the key would silently desync if the
         # function's internal RNG consumption ever changes).
         extra = [masks[0]] if masks is not None else []
-        cropped, gt = random_crop_flip(k_geo, ims + extra, crop_hw, flows=gt)
+        cropped, gt = random_crop_flip(k_geo, ims + extra, crop_hw, flows=gt,
+                                       horizontal_flip=t.aug_hflip)
         mask = cropped[2] if extra else None
         im1, im2 = cropped[0], cropped[1]
 
         # Photometric augmentation feeds the network only; the loss sees
         # the un-jittered pair (reference: core/unsupervised.py).
-        im1_photo, im2_photo = random_photometric(k_photo, [im1, im2])
+        if t.aug_photometric:
+            im1_photo, im2_photo = random_photometric(
+                k_photo, [im1, im2], noise_stddev=t.aug_noise_stddev)
+        else:
+            im1_photo, im2_photo = im1, im2
         n1 = normalize(im1_photo, mean, stddev)
         n2 = normalize(im2_photo, mean, stddev)
 
@@ -308,7 +328,8 @@ class Trainer:
             restored = self.ckpt.restore(jax.tree_util.tree_map(lambda x: x, state))
             self.state = jax.device_put(restored, rep)
 
-        step_fn = make_train_step(self.model, self.tx, cfg, normalization)
+        step_fn = make_train_step(self.model, self.tx, cfg, normalization,
+                                  gather_granularity=self._gather_shards)
         self._step = jax.jit(step_fn, donate_argnums=(0,))
         # Multi-host: only the lead process owns filesystem side effects
         # (metrics/summaries/checkpoints live on a shared FS on TPU pods).
@@ -374,11 +395,11 @@ class Trainer:
         # steps; a per-step scalar fetch serializes them). The device
         # counter stays authoritative for checkpoint/restore.
         step = self.step  # one sync at (re)entry
-        # Everything traced inside the loop (step, image summaries,
-        # eval_fn) sees this trainer's data-axis shard count for
-        # gather-cliff chunking; the declaration ends with the loop.
-        # ASSUMPTION: all tracing happens on THIS thread — contextvars
-        # do not propagate to new threads, so any future worker-thread
+        # The train step binds its granularity in its own closure (see
+        # make_train_step) — this ambient scope only covers the OTHER
+        # programs traced inside the loop (image summaries, eval_fn).
+        # ASSUMPTION: those are traced on THIS thread — contextvars do
+        # not propagate to new threads, so any future worker-thread
         # tracing (async eval, summary offload) must capture the scope
         # with contextvars.copy_context() or it silently sees the
         # default granularity of 1 (perf-only resharding, never wrong
