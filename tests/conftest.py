@@ -67,13 +67,38 @@ def pytest_configure(config):
     )
 
 
+@pytest.hookimpl(trylast=True)
 def pytest_collection_modifyitems(config, items):
-    if config.getoption("--runslow") or os.environ.get("UNFLOW_SLOW") == "1":
-        return
-    skip = pytest.mark.skip(reason="slow; use --runslow or UNFLOW_SLOW=1")
-    for item in items:
-        if "slow" in item.keywords:
-            item.add_marker(skip)
+    if not config.getoption("--runslow") and os.environ.get("UNFLOW_SLOW") != "1":
+        skip = pytest.mark.skip(reason="slow; use --runslow or UNFLOW_SLOW=1")
+        for item in items:
+            if "slow" in item.keywords:
+                item.add_marker(skip)
+
+    # The on-chip MXU parity run is ~5 min of mostly-idle waiting on the
+    # tunneled remote-compile service. Overlap it with the CPU tests:
+    # pre-launch the child now and push the joining test to the end of
+    # the run. trylast: run after the core's -k/-m deselection so a
+    # filtered-out parity test never touches the chip.
+    parity = [i for i in items
+              if i.name == "test_mxu_correlation_parity_on_tpu"]
+    if parity and not config.option.collectonly:
+        from tests.test_ops_correlation_tpu import start_parity_child
+
+        config._mxu_parity_child = start_parity_child()
+        for item in parity:
+            items.remove(item)
+            items.append(item)
+
+
+def pytest_unconfigure(config):
+    # If the run aborted before the joining test consumed the child
+    # (crash, Ctrl-C, --exitfirst on an earlier failure), don't leak a
+    # chip-holding orphan.
+    proc = getattr(config, "_mxu_parity_child", None)
+    if proc is not None and proc.poll() is None:
+        proc.kill()
+        proc.communicate()
 
 
 @pytest.fixture

@@ -69,7 +69,17 @@ print("TPU_PARITY_OK")
 """
 
 
-def test_mxu_correlation_parity_on_tpu():
+def start_parity_child() -> subprocess.Popen:
+    """Launch the on-chip parity run WITHOUT waiting for it.
+
+    The run is ~5 min of wall time on this host, nearly all of it spent
+    blocked on the tunneled remote-compile service with the local CPU
+    idle — serializing it against the CPU suite doubles the suite's
+    clock. conftest.py pre-launches it at collection time (only when
+    this test was actually collected) and the test, pushed to the end
+    of the item order, merely joins the child; the TPU wait then
+    overlaps the whole CPU run.
+    """
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     env = dict(os.environ)
     # Undo the conftest's virtual-CPU-mesh flag for the child; let the
@@ -79,33 +89,31 @@ def test_mxu_correlation_parity_on_tpu():
     )
     env["XLA_FLAGS"] = flags.strip()
     env.pop("JAX_PLATFORMS", None)
-    # Quick reachability probe first: when the tunneled TPU service is
-    # down, jax.devices() in the child blocks forever (observed: axon
-    # backend init hangs at the pool claim), which must read as "no TPU"
-    # rather than burning the full parity timeout and failing the suite.
+    return subprocess.Popen(
+        [sys.executable, "-c", _PROBE.format(repo=repo)],
+        env=env,
+        stdout=subprocess.PIPE,
+        stderr=subprocess.PIPE,
+        text=True,
+    )
+
+
+def test_mxu_correlation_parity_on_tpu(request):
+    proc = getattr(request.config, "_mxu_parity_child", None)
+    if proc is None:  # direct single-test invocation: launch-and-join
+        proc = start_parity_child()
     try:
-        ping = subprocess.run(
-            [sys.executable, "-c", "import jax; jax.devices(); print('UP')"],
-            env=env, capture_output=True, text=True, timeout=120,
-        )
+        # 5m14s uncontended on this host (tunneled remote-compile TPU);
+        # generous headroom so suite-level CPU contention can't flake
+        # it. When the tunneled service is down, the child's device init
+        # blocks forever (observed: axon backend hangs at the pool
+        # claim) — that must read as a skip, not a suite failure.
+        out, err = proc.communicate(timeout=1080)
     except subprocess.TimeoutExpired:
-        pytest.skip("TPU backend unreachable (device init timed out)")
-    if "UP" not in ping.stdout:
-        pytest.skip(f"no usable TPU backend: {ping.stderr[-300:]}")
-    try:
-        proc = subprocess.run(
-            [sys.executable, "-c", _PROBE.format(repo=repo)],
-            env=env,
-            capture_output=True,
-            text=True,
-            # 5m14s uncontended on this host (tunneled remote-compile TPU);
-            # generous headroom so suite-level CPU contention can't flake it.
-            timeout=1080,
-        )
-    except subprocess.TimeoutExpired:
+        proc.kill()
+        proc.communicate()
         pytest.skip("TPU parity run timed out (tunneled chip unresponsive)")
-    out = proc.stdout
     if "NO_TPU" in out:
         pytest.skip("no TPU attached")
-    assert proc.returncode == 0, f"stdout:\n{out}\nstderr:\n{proc.stderr[-3000:]}"
+    assert proc.returncode == 0, f"stdout:\n{out}\nstderr:\n{err[-3000:]}"
     assert "TPU_PARITY_OK" in out, out
