@@ -24,6 +24,8 @@ def main() -> int:
     ap.add_argument("--width", type=int, default=1152)
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--top", type=int, default=25)
+    ap.add_argument("--conv-impl", default="native",
+                    choices=("native", "phase", "phase_folded"))
     args = ap.parse_args()
 
     import jax
@@ -47,6 +49,7 @@ def main() -> int:
     t.height, t.width = args.height, args.width
     t.batch_size = args.batch
     t.compute_dtype = "bfloat16"
+    t.conv_impl = args.conv_impl
 
     model = build_model(cfg)
     sample = jnp.zeros((1, args.height, args.width, 3), jnp.float32)

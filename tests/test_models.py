@@ -245,3 +245,37 @@ def test_remat_bidirectional_pair_flip_static():
             np.testing.assert_allclose(
                 np.asarray(f_dedup), np.asarray(f_ref), rtol=0, atol=1e-5
             )
+
+
+@pytest.mark.parametrize("impl", ["phase", "phase_folded"])
+def test_phase_bwd_conv_matches_native(impl):
+    """conv_impl=phase[_folded] only changes the stride-2 convs' DATA
+    GRADIENT lowering: identical param tree, bit-identical forward
+    (the forward IS the plain lax conv), gradients equal to float
+    tolerance through a full FlowNetC."""
+    import chex
+
+    rng = np.random.RandomState(11)
+    im1 = jnp.asarray(rng.rand(2, H, W, 3).astype(np.float32))
+    im2 = jnp.asarray(rng.rand(2, H, W, 3).astype(np.float32))
+    kw = dict(compute_dtype=jnp.float32, corr_impl="jnp", max_displacement=4)
+    native = FlowNetC(conv_impl="native", **kw)
+    phased = FlowNetC(conv_impl=impl, **kw)
+    p_native = jax.jit(native.init)(jax.random.PRNGKey(5), im1, im2)["params"]
+    p_phase = jax.jit(phased.init)(jax.random.PRNGKey(5), im1, im2)["params"]
+    chex.assert_trees_all_equal(p_native, p_phase)
+
+    out_native = native.apply({"params": p_native}, im1, im2)
+    out_phase = phased.apply({"params": p_native}, im1, im2)
+    for a, b in zip(out_native, out_phase):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def loss(model):
+        def inner(p):
+            flows = model.apply({"params": p}, im1, im2)
+            return sum(jnp.sum(f**2) for f in flows)
+        return inner
+
+    g_native = jax.jit(jax.grad(loss(native)))(p_native)
+    g_phase = jax.jit(jax.grad(loss(phased)))(p_native)
+    chex.assert_trees_all_close(g_phase, g_native, rtol=1e-4, atol=1e-5)

@@ -110,7 +110,9 @@ def test_train_step_hlo_is_collective_clean():
     single ~40s XLA compile (suite-time budget, VERDICT r3 item 1): the
     CS cascade (correlation + fw/bw interleave — both flow directions
     are computed in every occlusion mode), disocc's forward-warp
-    scatter, and the phase-decomposed deconv's H/W slice/interleave.
+    scatter, the phase-decomposed deconv's H/W slice/interleave, and
+    the phase-decomposed stride-2 conv data gradient (ops/conv2d.py —
+    also H/W-only slicing, batch axis untouched).
     Per-variant programs stay available behind ``--runslow``.
     """
     from unflow_tpu.utils.hlo import (
@@ -120,7 +122,7 @@ def test_train_step_hlo_is_collective_clean():
     )
 
     compiled = lower_train_step(8, spec="CS", mask_occlusion="disocc",
-                                deconv_impl="phase")
+                                deconv_impl="phase", conv_impl="phase")
     counts = collective_counts(compiled.as_text())
     bad = {k: v for k, v in counts.items() if k in RESHARDING_OPS}
     assert not bad, f"GSPMD resharding in combined train step: {counts}"

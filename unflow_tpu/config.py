@@ -110,6 +110,11 @@ class TrainConfig:
     # "phase" (dense 2x2-conv phase decomposition, models/flownet.py::
     # _PhaseDeconv — mathematically identical, checkpoint-compatible).
     deconv_impl: str = "native"
+    # Stride-2 conv DATA-GRADIENT lowering: "native" (XLA's zero-dilated
+    # transposed conv, 4x forward FLOPs, ~75% zeros) or "phase" /
+    # "phase_folded" (ops/conv2d.py subpixel-phase decomposition —
+    # same contraction up to summation order, checkpoint-compatible).
+    conv_impl: str = "native"
     # Per-stage rematerialization (jax.checkpoint): recompute stage
     # activations in the backward pass instead of holding them in HBM —
     # enables bigger crops/batches/cascades at ~+1 forward of FLOPs.

@@ -39,6 +39,7 @@ import jax
 import jax.numpy as jnp
 
 from unflow_tpu.ops import backward_warp, correlation
+from unflow_tpu.ops.conv2d import conv2d_s2_same
 from unflow_tpu.ops.downsample import resize_bilinear
 
 FLOW_SCALE = 5.0  # reference: src/e2eflow/core/flownet.py::FLOW_SCALE
@@ -57,6 +58,32 @@ def _pair_flip(x: jax.Array) -> jax.Array:
     """
     b2 = x.shape[0]
     return x.reshape((b2 // 2, 2) + x.shape[1:])[:, ::-1].reshape(x.shape)
+
+
+class _StridedConv(nn.Module):
+    """Stride-2 SAME conv whose data gradient avoids XLA's zero-dilated
+    transposed-conv lowering (ops/conv2d.py phase decomposition; the
+    encoder's 5x5/2 data gradients alone are ~22% of step FLOPs, 3/4 of
+    them multiplying zeros). Same param tree as ``nn.Conv`` (kernel
+    (K,K,C,F) + bias, lecun_normal/zeros), so checkpoints are
+    interchangeable and the impl is a pure runtime choice.
+    """
+
+    features: int
+    kernel_size: int
+    compute_dtype: jnp.dtype = jnp.float32
+    bwd_impl: str = "phase"  # phase | phase_folded (see ops/conv2d.py)
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        k, c, f = self.kernel_size, x.shape[-1], self.features
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (k, k, c, f), jnp.float32
+        )
+        bias = self.param("bias", nn.initializers.zeros, (f,), jnp.float32)
+        dt = self.compute_dtype
+        y = conv2d_s2_same(x.astype(dt), kernel.astype(dt), self.bwd_impl)
+        return y + bias.astype(dt)
 
 
 class _PhaseDeconv(nn.Module):
@@ -170,6 +197,7 @@ class FlowNetS(nn.Module):
 
     compute_dtype: jnp.dtype = jnp.float32
     deconv_impl: str = "native"
+    conv_impl: str = "native"  # native | phase | phase_folded (stride-2 bwd)
 
     @nn.compact
     def __call__(self, x: jax.Array) -> list[jax.Array]:
@@ -177,12 +205,17 @@ class FlowNetS(nn.Module):
         x = x.astype(dt)
 
         def conv(x, features, kernel, stride, name):
-            return _leaky(
-                nn.Conv(
+            if stride == 2 and self.conv_impl != "native":
+                mod = _StridedConv(
+                    features, kernel, compute_dtype=dt,
+                    bwd_impl=self.conv_impl, name=name,
+                )
+            else:
+                mod = nn.Conv(
                     features, (kernel, kernel), strides=(stride, stride),
                     padding="SAME", dtype=dt, name=name,
-                )(x)
-            )
+                )
+            return _leaky(mod(x))
 
         c1 = conv(x, 64, 7, 2, "conv1")
         c2 = conv(c1, 128, 5, 2, "conv2")
@@ -210,6 +243,7 @@ class FlowNetC(nn.Module):
     corr_stride: int = 2
     corr_impl: str | None = None  # None -> ops registry default ("auto")
     deconv_impl: str = "native"
+    conv_impl: str = "native"  # native | phase | phase_folded (stride-2 bwd)
 
     @nn.compact
     def __call__(
@@ -230,7 +264,20 @@ class FlowNetC(nn.Module):
         """
         dt = self.compute_dtype
 
+        def strided(features, kernel, name):
+            if self.conv_impl != "native":
+                return _StridedConv(
+                    features, kernel, compute_dtype=dt,
+                    bwd_impl=self.conv_impl, name=name,
+                )
+            return nn.Conv(
+                features, (kernel, kernel), strides=(2, 2), padding="SAME",
+                dtype=dt, name=name,
+            )
+
         def conv(x, features, kernel, stride, name):
+            if stride == 2:
+                return _leaky(strided(features, kernel, name)(x))
             return _leaky(
                 nn.Conv(
                     features, (kernel, kernel), strides=(stride, stride),
@@ -239,9 +286,9 @@ class FlowNetC(nn.Module):
             )
 
         # Shared feature towers (same submodules applied to both frames).
-        conv1 = nn.Conv(64, (7, 7), strides=(2, 2), padding="SAME", dtype=dt, name="conv1")
-        conv2 = nn.Conv(128, (5, 5), strides=(2, 2), padding="SAME", dtype=dt, name="conv2")
-        conv3 = nn.Conv(256, (5, 5), strides=(2, 2), padding="SAME", dtype=dt, name="conv3")
+        conv1 = strided(64, 7, "conv1")
+        conv2 = strided(128, 5, "conv2")
+        conv3 = strided(256, 5, "conv3")
 
         def tower(im):
             c1 = _leaky(conv1(im.astype(dt)))
@@ -305,6 +352,7 @@ class FlowNetStack(nn.Module):
     max_displacement: int = 20
     corr_stride: int = 2
     deconv_impl: str = "native"
+    conv_impl: str = "native"
     remat: bool = False
 
     @nn.compact
@@ -342,12 +390,14 @@ class FlowNetStack(nn.Module):
                         corr_impl=self.corr_impl,
                         max_displacement=self.max_displacement,
                         corr_stride=self.corr_stride,
-                        deconv_impl=self.deconv_impl, name=name,
+                        deconv_impl=self.deconv_impl,
+                        conv_impl=self.conv_impl, name=name,
                     )(im1, im2, pair_flipped_im2)
                 else:
                     flows = SNet(
                         compute_dtype=self.compute_dtype,
-                        deconv_impl=self.deconv_impl, name=name,
+                        deconv_impl=self.deconv_impl,
+                        conv_impl=self.conv_impl, name=name,
                     )(jnp.concatenate([im1, im2], -1))
             else:
                 if kind != "S":
@@ -389,7 +439,8 @@ class FlowNetStack(nn.Module):
                 )
                 flows = SNet(
                     compute_dtype=self.compute_dtype,
-                    deconv_impl=self.deconv_impl, name=name,
+                    deconv_impl=self.deconv_impl,
+                    conv_impl=self.conv_impl, name=name,
                 )(x)
             if ch.islower():
                 flows = [jax.lax.stop_gradient(f) for f in flows]

@@ -71,6 +71,7 @@ def build_model(cfg: Config) -> FlowNetStack:
         max_displacement=t.max_displacement,
         corr_stride=t.corr_stride,
         deconv_impl=t.deconv_impl,
+        conv_impl=t.conv_impl,
         remat=t.remat,
     )
 

@@ -47,6 +47,7 @@ def lower_train_step(
     height: int = 64,
     width: int = 64,
     deconv_impl: str = "native",
+    conv_impl: str = "native",
 ):
     """Compile the full train step over an n-device data mesh (abstractly).
 
@@ -75,6 +76,7 @@ def lower_train_step(
     t.compute_dtype = "float32"
     t.mask_occlusion = mask_occlusion
     t.deconv_impl = deconv_impl
+    t.conv_impl = conv_impl
 
     mesh = create_mesh(n_devices)
     model = build_model(cfg)
